@@ -1,0 +1,154 @@
+# coding: utf-8
+"""Coherent-state algebra.
+
+Overlaps and wavefunctions of multidimensional frozen Gaussians
+
+    <x|q,p,G> = (det(G)/pi^N)^{1/4}
+                exp(-1/2 (x-q)^T G (x-q) + i/hbar p^T (x-q))
+
+Capability parity with reference propagators.py:124-292
+(CoherentStatesOverlap, CoherentStatesWavefunction). Design differences:
+
+* all spectral work on the constant width matrices (pseudo-determinants,
+  pseudo-inverses, ranks) happens once on the host at parameter-pack
+  construction (`OverlapParams.create`); the rank is a static int;
+* the device functions are pure and batched with the trajectory axis leading;
+  `overlap_vector` covers the common <traj | phi(0)> case with O(n) work, the
+  full O(ni nj) `overlap_matrix` is only used by the opt-in norm monitor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from semiclassical_tpu import linalg
+from semiclassical_tpu.pytree import pytree_dataclass
+from semiclassical_tpu.units import hbar
+
+__all__ = [
+    "OverlapParams",
+    "overlap_vector",
+    "overlap_matrix",
+    "WavefunctionParams",
+    "wavefunction",
+]
+
+
+@pytree_dataclass(meta=("rank",))
+class OverlapParams:
+    """Constants for evaluating <qi,pi,Gi|qj,pj,Gj> overlaps.
+
+    All entries are derived from the two width matrices on the host
+    (reference propagators.py:145-179).
+    """
+
+    Gi_iGij_Gj: jnp.ndarray  # (d, d)   Gi [Gi+Gj]^{-1} Gj
+    iGij: jnp.ndarray        # (d, d)   pseudo-inverse of Gi+Gj
+    Gj_iGij: jnp.ndarray     # (d, d)   Gj [Gi+Gj]^{-1}
+    fac: jnp.ndarray         # ()       normalisation prefactor (complex)
+    rank: int
+
+    @staticmethod
+    def create(Gi: np.ndarray, Gj: np.ndarray, dtype=jnp.float64):
+        Gi = np.asarray(Gi, dtype=np.float64)
+        Gj = np.asarray(Gj, dtype=np.float64)
+        assert Gi.shape == Gj.shape, (
+            "width matrices Gi and Gj have to have the same shape"
+        )
+        ei, _ = linalg.sym_eigh(Gi)
+        ej, _ = linalg.sym_eigh(Gj)
+        ranki = int(np.count_nonzero(np.abs(ei) > linalg.ZERO))
+        rankj = int(np.count_nonzero(np.abs(ej) > linalg.ZERO))
+        assert ranki == rankj, (
+            "Gi and Gj have to have the same rank and null space."
+        )
+        detGi = np.prod(ei[np.abs(ei) > linalg.ZERO])
+        detGj = np.prod(ej[np.abs(ej) > linalg.ZERO])
+
+        Gij = Gi + Gj
+        eij, Vij = linalg.sym_eigh(Gij)
+        nz = np.abs(eij) > linalg.ZERO
+        iGij = np.einsum("ij,j,kj->ik", Vij[:, nz], 1.0 / eij[nz], Vij[:, nz])
+        detGij = np.prod(eij[nz])
+
+        fac = np.sqrt(
+            2.0**ranki * np.sqrt(detGi + 0j) * np.sqrt(detGj + 0j) / detGij
+        )
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        return OverlapParams(
+            Gi_iGij_Gj=jnp.asarray(Gi @ iGij @ Gj, dtype=dtype),
+            iGij=jnp.asarray(iGij, dtype=dtype),
+            Gj_iGij=jnp.asarray(Gj @ iGij, dtype=dtype),
+            fac=jnp.asarray(fac, dtype=cdtype),
+            rank=ranki,
+        )
+
+
+def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
+    """Exponent of the overlap for displacement arrays of shape (..., d).
+
+    dq = qj - qi, dp = pj - pi, pj = ket momenta.
+    (reference propagators.py:232-237)
+    """
+    return (
+        -0.5 * jnp.einsum("...a,ab,...b->...", dq, ov.Gi_iGij_Gj, dq)
+        - (0.5 / hbar**2) * jnp.einsum("...a,ab,...b->...", dp, ov.iGij, dp)
+        - (1j / hbar) * jnp.einsum("...a,...a->...", pj, dq)
+        + (1j / hbar) * jnp.einsum("...a,ab,...b->...", dq, ov.Gj_iGij, dp)
+    )
+
+
+def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
+    """<qi(n),pi(n),Gi|qj,pj,Gj> for a batch of bra states and one ket.
+
+    qi, pi : (n, d); qj, pj : (d,). Returns complex (n,).
+    """
+    dq = qj[None, :] - qi
+    dp = pj[None, :] - pi
+    pj_b = jnp.broadcast_to(pj[None, :], qi.shape)
+    return ov.fac * jnp.exp(_overlap_exponent(ov, dq, dp, pj_b))
+
+
+def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
+    """Full overlap matrix <qi(i)|qj(j)> of shape (ni, nj)."""
+    dq = qj[None, :, :] - qi[:, None, :]
+    dp = pj[None, :, :] - pi[:, None, :]
+    pj_b = jnp.broadcast_to(pj[None, :, :], dq.shape)
+    return ov.fac * jnp.exp(_overlap_exponent(ov, dq, dp, pj_b))
+
+
+@pytree_dataclass(meta=("rank",))
+class WavefunctionParams:
+    """Constants for evaluating superpositions of frozen Gaussians on grids
+    (reference propagators.py:243-292)."""
+
+    G: jnp.ndarray    # (d, d)
+    fac: jnp.ndarray  # ()  (det G / pi^rank)^{1/4}
+    rank: int
+
+    @staticmethod
+    def create(G: np.ndarray, dtype=jnp.float64):
+        G = np.asarray(G, dtype=np.float64)
+        e, _ = linalg.sym_eigh(G)
+        nz = np.abs(e) > linalg.ZERO
+        detG = np.prod(e[nz])
+        rank = int(np.count_nonzero(nz))
+        fac = (detG / np.pi**rank) ** 0.25
+        return WavefunctionParams(
+            G=jnp.asarray(G, dtype=dtype),
+            fac=jnp.asarray(fac, dtype=dtype),
+            rank=rank,
+        )
+
+
+def wavefunction(wf: WavefunctionParams, q, p, v, x):
+    """phi(x) = sum_i v_i <x|q_i,p_i> on a spatial grid.
+
+    q, p : (n, d); v : complex (n,); x : (nx, d). Returns complex (nx,).
+    """
+    dx = x[None, :, :] - q[:, None, :]                       # (n, nx, d)
+    expo = (-0.5 * jnp.einsum("nxa,ab,nxb->nx", dx, wf.G, dx)
+            + (1j / hbar) * jnp.einsum("na,nxa->nx", p, dx))
+    gaussians = wf.fac * jnp.exp(expo)                       # (n, nx)
+    return jnp.einsum("n,nx->x", v, gaussians)

@@ -1,0 +1,191 @@
+# coding: utf-8
+"""Pure-JAX sGDML force field with analytic batched Hessians.
+
+Kernel-ridge regression with a Matern-5/2 kernel over inverse-distance
+descriptors, symmetry permutations baked into expanded training tensors.
+Capability parity with reference gdml_predictor.py:35-250 (energy, analytic
+gradient, analytic Hessian with order-0/1/2 early exit), redesigned for TPU:
+
+* no torch, no nn.Module — the model is an immutable pytree (`GDMLParams`)
+  that can be closed over or passed into jit;
+* the reference assembles the descriptor-curvature part of the Hessian with
+  `index_put_(accumulate=True)` scatters into (B, 3N, 3N)
+  (reference gdml_predictor.py:220-246). Scatters serialise badly on TPU;
+  here the same accumulation is expressed as a dense contraction with the
+  constant pair-incidence tensor W[d] = u_d u_d^T, u_d = e_{k(d)} - e_{l(d)}
+  (a (D, N, N) einsum that lowers to MXU matmuls);
+* the descriptor Jacobian is only materialised for order=2; the gradient
+  path contracts it away analytically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from semiclassical_tpu.pytree import pytree_dataclass
+
+__all__ = ["GDMLParams", "gdml_forward"]
+
+
+@pytree_dataclass(meta=("n_atoms",))
+class GDMLParams:
+    """Trained sGDML model, permutation-expanded.
+
+    Shapes: M = n_train * n_perms, D = N (N - 1) / 2 descriptor entries.
+    """
+
+    xs_train: jnp.ndarray    # (M, D)  training descriptors (expanded)
+    Jx_alphas: jnp.ndarray   # (M, D)  regression coefficients (expanded)
+    pair_k: jnp.ndarray      # (D,) int32  first atom of each descriptor pair
+    pair_l: jnp.ndarray      # (D,) int32  second atom (k > l)
+    incidence: jnp.ndarray   # (D, N)  u_d = e_k - e_l
+    pair_outer: jnp.ndarray  # (D, N, N)  W_d = u_d u_d^T
+    sig: jnp.ndarray         # () kernel length scale
+    c: jnp.ndarray           # () energy offset
+    std: jnp.ndarray         # () energy scale
+    n_atoms: int
+
+    @staticmethod
+    def from_npz(model, dtype=jnp.float64):
+        """Build from a trained sGDML model mapping (as saved by sgdml.train).
+
+        Expects the same fields as the reference loader
+        (gdml_predictor.py:57-84): 'sig', 'c', optional 'std', 'z', 'perms',
+        'tril_perms_lin', 'R_desc' (D, n_train), 'R_d_desc_alpha'.
+        """
+        model = dict(model)
+        sig = float(model["sig"])
+        c = float(model["c"])
+        std = float(model.get("std", 1.0))
+        n_atoms = int(model["z"].shape[0])
+
+        R_desc = np.asarray(model["R_desc"], dtype=np.float64)       # (D, M0)
+        R_d_desc_alpha = np.asarray(
+            np.array(model["R_d_desc_alpha"]), dtype=np.float64
+        )                                                            # (M0, D)
+        desc_siz = R_desc.shape[0]
+        n_perms = int(model["perms"].shape[0])
+        # tril_perms_lin holds, for each permutation, the linearised
+        # permutation of descriptor entries
+        perm_idxs = (
+            np.asarray(model["tril_perms_lin"]).reshape(-1, n_perms).T
+        )                                                            # (P, D*?)
+
+        def expand(xs):  # (M0, D) -> (M0 * P, D)
+            tiled = np.tile(xs, (1, n_perms))[:, perm_idxs.ravel()]
+            return tiled.reshape(-1, desc_siz)
+
+        xs_train = expand(R_desc.T)
+        Jx_alphas = expand(R_d_desc_alpha)
+
+        k, l = np.tril_indices(n_atoms, k=-1)
+        incidence = np.zeros((desc_siz, n_atoms))
+        incidence[np.arange(desc_siz), k] = 1.0
+        incidence[np.arange(desc_siz), l] = -1.0
+        pair_outer = incidence[:, :, None] * incidence[:, None, :]
+
+        return GDMLParams(
+            xs_train=jnp.asarray(xs_train, dtype=dtype),
+            Jx_alphas=jnp.asarray(Jx_alphas, dtype=dtype),
+            pair_k=jnp.asarray(k, dtype=jnp.int32),
+            pair_l=jnp.asarray(l, dtype=jnp.int32),
+            incidence=jnp.asarray(incidence, dtype=dtype),
+            pair_outer=jnp.asarray(pair_outer, dtype=dtype),
+            sig=jnp.asarray(sig, dtype=dtype),
+            c=jnp.asarray(c, dtype=dtype),
+            std=jnp.asarray(std, dtype=dtype),
+            n_atoms=n_atoms,
+        )
+
+
+def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2):
+    """Energy / gradient / Hessian for a batch of geometries.
+
+    Parameters
+    ----------
+    params : GDMLParams
+    r : (B, 3N) cartesian coordinates in bohr
+    order : int (static)
+        0 -> energy, 1 -> (energy, grad), 2 -> (energy, grad, hess)
+
+    Returns
+    -------
+    energy (B,), grad (B, 3N), hess (B, 3N, 3N) in atomic units.
+    """
+    N = params.n_atoms
+    B = r.shape[0]
+    D = params.xs_train.shape[1]
+    r3 = r.reshape(B, N, 3)
+
+    q = jnp.sqrt(5.0) / params.sig
+
+    # pairwise differences only for the D lower-triangle pairs (the reference
+    # builds the full (B, N, N, 3) tensor first, gdml_predictor.py:152-158)
+    diffs = r3[:, params.pair_k, :] - r3[:, params.pair_l, :]   # (B, D, 3)
+    dists = jnp.linalg.norm(diffs, axis=-1)                      # (B, D)
+    xs = 1.0 / dists                                             # (B, D)
+
+    x_diffs = xs[:, None, :] - params.xs_train[None]             # (B, M, D)
+    x_dists = jnp.linalg.norm(x_diffs, axis=-1)                  # (B, M)
+
+    A = params.Jx_alphas
+    XA = jnp.einsum("bmd,md->bm", x_diffs, A)                    # (B, M)
+
+    exp_fac = (1.0 / 3.0) * q**4 * jnp.exp(-q * x_dists)         # (B, M)
+    mat52_base = exp_fac * (1.0 + q * x_dists) / q**2            # (B, M)
+
+    energy = jnp.einsum("bm,bm->b", mat52_base, XA)
+    energy = energy * params.std + params.c
+
+    if order == 0:
+        return energy
+
+    # gradient in descriptor space
+    grad_x = jnp.einsum("bm,md->bd", mat52_base, A)
+    grad_x = grad_x - jnp.einsum("bm,bmd->bd", exp_fac * XA, x_diffs)  # (B, D)
+
+    xs3 = xs**3
+    # cartesian gradient without materialising the Jacobian:
+    # jac[b, d, a, :] = -xs^3 diffs[b, d, :] U[d, a]
+    g_pair = (grad_x * xs3)[:, :, None] * diffs                  # (B, D, 3)
+    grad = -jnp.einsum("bdc,da->bac", g_pair, params.incidence)  # (B, N, 3)
+    grad = grad.reshape(B, 3 * N) * params.std
+
+    if order == 1:
+        return energy, grad
+
+    # dense descriptor Jacobian (B, D, 3N), needed for second derivatives
+    jac = -(xs3[:, :, None, None] * diffs[:, :, None, :]
+            * params.incidence[None, :, :, None])                # (B, D, N, 3)
+    jac = jac.reshape(B, D, 3 * N)
+
+    XJ = jnp.einsum("bmd,bdx->bmx", x_diffs, jac)                # (B, M, 3N)
+    AJ = jnp.einsum("md,bdx->bmx", A, jac)                       # (B, M, 3N)
+    JJ = jnp.einsum("bdx,bdy->bxy", jac, jac)                    # (B, 3N, 3N)
+
+    w1 = exp_fac * XA * q / x_dists
+    hess = jnp.einsum("bm,bmx,bmy->bxy", w1, XJ, XJ)
+    hess = hess - jnp.sum(exp_fac * XA, axis=1)[:, None, None] * JJ
+    cross = jnp.einsum("bm,bmx,bmy->bxy", exp_fac, AJ, XJ)
+    hess = hess - cross - jnp.swapaxes(cross, 1, 2)
+
+    # descriptor-curvature corrections, scatter-free:
+    #   h1[b, d, u, v] contributes with sign pattern W_d = u_d u_d^T
+    #   (replaces index_put_(accumulate=True), gdml_predictor.py:220-246)
+    h1 = (3.0 * (grad_x * xs**5)[:, :, None, None]
+          * diffs[:, :, :, None] * diffs[:, :, None, :])          # (B, D, 3, 3)
+    h2 = -grad_x * xs3                                            # (B, D)
+
+    corr1 = jnp.einsum("bduv,dac->baucv", h1, params.pair_outer)  # (B,N,3,N,3)
+    corr2 = jnp.einsum("bd,dac->bac", h2, params.pair_outer)      # (B, N, N)
+    corr = corr1 + corr2[:, :, None, :, None] * jnp.eye(3, dtype=r.dtype)[None, None, :, None, :]
+
+    hess = hess + corr.reshape(B, 3 * N, 3 * N)
+    hess = hess * params.std
+
+    return energy, grad, hess
+
+
+gdml_forward_jit = jax.jit(gdml_forward, static_argnames=("order",))

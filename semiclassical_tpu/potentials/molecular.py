@@ -1,0 +1,208 @@
+# coding: utf-8
+"""Molecular potential energy surfaces.
+
+Capability parity with reference potentials.py:400-744:
+
+* `MolecularHarmonicPotential` — second-order Taylor PES from a Gaussian 16
+  frequency checkpoint; constant Hessian, constant NAC (Condon approximation).
+* `MolecularGDMLPotential` — sGDML machine-learned PES with analytic batched
+  Hessians (pure JAX, see semiclassical_tpu.gdml).
+* `minimize` — Newton optimisation with Armijo backtracking line search to
+  locate the PES minimum and fix the energy origin. Unlike the reference's
+  mutating ``potential.minimize`` (potentials.py:435-526) this is a pure
+  function returning a new potential with the origin set.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from semiclassical_tpu.gdml import GDMLParams, gdml_forward
+from semiclassical_tpu.potentials.base import ConstHessian, DenseHessian
+from semiclassical_tpu.pytree import pytree_dataclass, replace
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MolecularHarmonicPotential", "MolecularGDMLPotential", "minimize"]
+
+
+@pytree_dataclass
+class MolecularHarmonicPotential:
+    """Harmonic expansion around a reference geometry (usually the minimum):
+
+        V(r') = V0 + grad0^T (r' - r0) + 1/2 (r' - r0)^T hess0 (r' - r0)
+
+    Built from a frequency checkpoint (geometry, gradient, cartesian force
+    constants) and a checkpoint carrying the NAC vector
+    (reference potentials.py:529-638).
+    """
+
+    pos0: jnp.ndarray     # (d,)
+    energy0: jnp.ndarray  # ()
+    grad0: jnp.ndarray    # (d,)
+    hess0: jnp.ndarray    # (d, d)
+    nac0: jnp.ndarray     # (d,)
+    mass: jnp.ndarray     # (d,)
+    origin: jnp.ndarray   # () energy origin set by `minimize`
+
+    @staticmethod
+    def from_fchk(freq_fchk, nac_fchk, dtype=jnp.float64):
+        pos0, energy0, grad0, hess0 = freq_fchk.harmonic_approximation()
+        nac0 = nac_fchk.nonadiabatic_coupling()
+        mass = freq_fchk.masses()
+        logger.info(f"atomic masses (multiples of electron mass): {mass}")
+        return MolecularHarmonicPotential(
+            pos0=jnp.asarray(pos0, dtype=dtype),
+            energy0=jnp.asarray(float(np.ravel(energy0)[0]), dtype=dtype),
+            grad0=jnp.asarray(grad0, dtype=dtype),
+            hess0=jnp.asarray(hess0, dtype=dtype),
+            nac0=jnp.asarray(nac0, dtype=dtype),
+            mass=jnp.asarray(mass, dtype=dtype),
+            origin=jnp.asarray(0.0, dtype=dtype),
+        )
+
+    def dimensions(self) -> int:
+        return self.pos0.shape[0]
+
+    def masses(self) -> jnp.ndarray:
+        return self.mass
+
+    def total_energy(self):
+        """Energy at the minimum (after `minimize`), Hartree."""
+        return self.origin
+
+    def local_expansion(self, q):
+        dr = q - self.pos0[None, :]                       # (n, d)
+        hdr = dr @ self.hess0.T                           # (n, d)
+        v = (self.energy0
+             + dr @ self.grad0
+             + 0.5 * jnp.sum(dr * hdr, axis=1))
+        grad = self.grad0[None, :] + hdr
+        return v - self.origin, grad, ConstHessian(mat=self.hess0)
+
+    def derivative_coupling_1st(self, q):
+        return jnp.broadcast_to(self.nac0[None, :], q.shape)
+
+    def derivative_coupling_2nd(self, q):
+        return jnp.zeros_like(q)
+
+
+@pytree_dataclass
+class MolecularGDMLPotential:
+    """sGDML machine-learned ground-state PES with constant NAC vector.
+
+    (reference potentials.py:641-744; the batch layout is natively
+    trajectory-leading here, so no permutes are needed)
+    """
+
+    gdml: GDMLParams
+    nac0: jnp.ndarray    # (d,)
+    mass: jnp.ndarray    # (d,)
+    origin: jnp.ndarray  # ()
+
+    @staticmethod
+    def create(model_pot, nac_fchk, dtype=jnp.float64):
+        gdml = GDMLParams.from_npz(model_pot, dtype=dtype)
+        nac0 = nac_fchk.nonadiabatic_coupling()
+        model_z = np.asarray(dict(model_pot)["z"])
+        assert np.array_equal(model_z, nac_fchk.atomic_numbers()), (
+            "GDML model and NAC checkpoint should describe the same molecule"
+        )
+        mass = nac_fchk.masses()
+        logger.info(f"atomic masses (multiples of electron mass): {mass}")
+        return MolecularGDMLPotential(
+            gdml=gdml,
+            nac0=jnp.asarray(nac0, dtype=dtype),
+            mass=jnp.asarray(mass, dtype=dtype),
+            origin=jnp.asarray(0.0, dtype=dtype),
+        )
+
+    def dimensions(self) -> int:
+        return 3 * self.gdml.n_atoms
+
+    def masses(self) -> jnp.ndarray:
+        return self.mass
+
+    def total_energy(self):
+        return self.origin
+
+    def local_expansion(self, q):
+        v, grad, hess = gdml_forward(self.gdml, q, order=2)
+        return v - self.origin, grad, DenseHessian(mat=hess)
+
+    def derivative_coupling_1st(self, q):
+        return jnp.broadcast_to(self.nac0[None, :], q.shape)
+
+    def derivative_coupling_2nd(self, q):
+        return jnp.zeros_like(q)
+
+
+def minimize(potential, r_guess, maxiter=200, rtol=1.0e-5, gtol=1.0e-7):
+    """Locate the PES minimum near `r_guess` and fix the energy origin there.
+
+    Newton steps dr = -hess^{-1} grad with a steepest-descent fallback and
+    Armijo backtracking (reference potentials.py:435-526). The optimisation
+    loop runs on the host (it is a handful of iterations on a single
+    geometry); each PES evaluation is jitted.
+
+    Returns a new potential with ``origin`` set to the minimum energy.
+    """
+    potential = replace(potential, origin=jnp.zeros_like(potential.origin))
+
+    @jax.jit
+    def expansion(pot, r):
+        v, g, h = pot.local_expansion(r[None, :])
+        return v[0], g[0], h.dense()
+
+    @jax.jit
+    def energy_only(pot, r):
+        v, _, _ = pot.local_expansion(r[None, :])
+        return v[0]
+
+    r = jnp.asarray(r_guess)
+    for i in range(maxiter):
+        energy, grad, hess = expansion(potential, r)
+        hess = jnp.reshape(hess, (r.shape[0], r.shape[0]))
+
+        dr = jnp.linalg.solve(hess, -grad)
+        delta_energy = float(jnp.sum(grad * dr))
+        if delta_energy > 0.0:
+            # not a descent direction -> steepest descent
+            dr = -grad
+            delta_energy = float(jnp.sum(grad * dr))
+
+        grad_norm = float(jnp.linalg.norm(grad))
+        disp_norm = float(jnp.linalg.norm(dr))
+        logger.info(
+            f"  iteration= {i:5}  energy= {float(energy):f} Hartree  "
+            f"|gradient|= {grad_norm:e} (threshold= {gtol})  "
+            f"|geometry change|= {disp_norm:e} (threshold= {rtol})"
+        )
+        if grad_norm < gtol or disp_norm < rtol:
+            logger.info("  converged")
+            break
+
+        # Armijo backtracking line search (Nocedal & Wright, Algorithm 3.1)
+        rho, c_armijo, lmax = 0.3, 1.0e-4, 100
+        a = 1.0
+        for _ in range(lmax):
+            r_interp = r + a * dr
+            if float(energy_only(potential, r_interp)) <= float(energy) + c_armijo * a * delta_energy:
+                break
+            a *= rho
+        else:
+            raise RuntimeError(
+                "Linesearch failed! Could not find a step length that "
+                "satisfies the sufficient decrease condition."
+            )
+        r = r_interp
+    else:
+        raise RuntimeError(f"Could not find minimum within {maxiter} iterations.")
+
+    emin = float(energy_only(potential, r))
+    logger.info(f"shift origin of energy axis to minimum energy = {emin} Hartree")
+    return replace(potential, origin=jnp.asarray(emin, dtype=potential.origin.dtype))

@@ -1,0 +1,78 @@
+# coding: utf-8
+"""Newton's equations of motion for trajectories + monodromy matrices,
+and the fixed-step RK4 integrator.
+
+Capability parity with reference propagators.py:86-119 (RK4) and
+propagators.py:296-398 (EquationsOfMotion). Differences by design:
+
+* the derivative acts on the structured `TrajState` pytree via `tree_map`
+  instead of a packed flat vector;
+* the Hessian-monodromy products go through the potential's structured
+  `HessianOp`, so separable potentials cost O(n d^2) instead of O(n d^3);
+* each RK4 stage evaluates the potential once, exactly like the reference
+  (4 PES evaluations per step — required for trajectory-level parity);
+* the batch-mean total energy <T + V> at the step start is returned for the
+  post-scan energy-conservation check (the reference syncs it to the host
+  every step, propagators.py:380-398).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from semiclassical_tpu.propagation.state import TrajState
+
+__all__ = ["state_derivative", "rk4_step"]
+
+
+def state_derivative(state: TrajState, potential):
+    """dy/dt for the combined (q, p, M, S) system.
+
+        dq/dt = p / m
+        dp/dt = -grad V
+        dMqq/dt = Mpq / m        dMqp/dt = Mpp / m
+        dMpq/dt = -H Mqq         dMpp/dt = -H Mqp
+        dS/dt = T - V
+
+    (reference propagators.py:342-368)
+
+    Returns (dstate, mean_energy) where mean_energy = <T + V> over the batch.
+    """
+    inv_m = 1.0 / potential.masses()                     # (d,)
+    vpot, grad, hess = potential.local_expansion(state.q)
+
+    tkin = 0.5 * jnp.sum(state.p**2 * inv_m[None, :], axis=1)
+
+    dstate = TrajState(
+        q=state.p * inv_m[None, :],
+        p=-grad,
+        Mqq=state.Mpq * inv_m[None, :, None],
+        Mqp=state.Mpp * inv_m[None, :, None],
+        Mpq=-hess.matmul(state.Mqq),
+        Mpp=-hess.matmul(state.Mqp),
+        S=tkin - vpot,
+    )
+    mean_energy = jnp.mean(tkin + vpot)
+    return dstate, mean_energy
+
+
+def rk4_step(state: TrajState, potential, dt):
+    """One classic 4th-order Runge-Kutta step.
+
+    Returns (new_state, mean_energy_at_step_start). The returned energy is
+    evaluated at the k1 stage (the exact state at time t), which is the
+    quantity whose step-to-step drift the conservation guard monitors.
+    """
+    axpy = lambda y, a, k: jax.tree.map(lambda yi, ki: yi + a * ki, y, k)
+
+    k1, en = state_derivative(state, potential)
+    k2, _ = state_derivative(axpy(state, 0.5 * dt, k1), potential)
+    k3, _ = state_derivative(axpy(state, 0.5 * dt, k2), potential)
+    k4, _ = state_derivative(axpy(state, dt, k3), potential)
+
+    new_state = jax.tree.map(
+        lambda y, a, b, c, d: y + (dt / 6.0) * (a + 2 * b + 2 * c + d),
+        state, k1, k2, k3, k4,
+    )
+    return new_state, en

@@ -1,0 +1,471 @@
+# coding: utf-8
+"""Herman-Kluk (HK) semiclassical IVR propagator.
+
+[HK] E. Kluk, M. Herman, H. Davis, J. Chem. Phys. 84, 326 (1986)
+
+Capability parity with reference propagators.py:407-1066, redesigned TPU-first:
+
+* `HKParams` / `BatchConstants` are host-precomputed pytrees. The null-space
+  projector U of singular width matrices is folded into the constant factors
+  of the prefactor (U^T Gt^{+-1/2}) and (Gi^{+-1/2} U), so the per-step work
+  is two complex (n, d, r) matmul chains plus one batched (n, r, r)
+  determinant — nothing with dynamic rank enters jit;
+* quantities that depend only on the *initial* phase-space points — the
+  overlap <qi,pi|phi(0)>, the Monte-Carlo weights, and the whole nac(q)
+  factor of the IC correlation — are computed once per batch instead of
+  every time step (the reference recomputes them per step,
+  propagators.py:793-795, 880-903);
+* `propagate` runs the full time loop as one `lax.scan` inside jit, emitting
+  C(t) and k~ic(t); the branch-cut sign tracker of sqrt(det) is scan-carried
+  state.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from semiclassical_tpu import linalg
+from semiclassical_tpu.coherent import (
+    OverlapParams,
+    WavefunctionParams,
+    overlap_matrix,
+    overlap_vector,
+    wavefunction,
+)
+from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.state import SignTracker, TrajState
+from semiclassical_tpu.pytree import pytree_dataclass, replace
+from semiclassical_tpu.sampling import SamplingParams, sample_initial_conditions
+from semiclassical_tpu.units import hbar
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "HKParams",
+    "BatchConstants",
+    "HermanKlukPropagator",
+    "hk_prefactor_det",
+    "check_energy_conservation",
+    "pairwise_norm",
+]
+
+
+def complex_dtype(dtype):
+    return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
+
+
+@pytree_dataclass(meta=("dim", "rank"))
+class HKParams:
+    """Constant parameter pack of the HK propagator.
+
+    Prefactor (reference propagators.py:951-1004, eqn. 29):
+
+        C^2 = det( U^T [ 1/2 ( Gt^{1/2} Mqq Gi^{-1/2} + Gt^{-1/2} Mpp Gi^{1/2}
+                   - i hbar Gt^{1/2} Mqp Gi^{1/2}
+                   + i/hbar Gt^{-1/2} Mpq Gi^{-1/2} ) ] U )
+
+    with U the basis of the non-zero subspace of Gamma_i + Gamma_0.
+    Lt_* = U^T Gt^{+-1/2} and Ri_* = Gi^{+-1/2} U are precomputed.
+    """
+
+    Lt_s: jnp.ndarray   # (r, d) complex  U^T Gt^{1/2}
+    Lt_i: jnp.ndarray   # (r, d) complex  U^T Gt^{-1/2}
+    Ri_s: jnp.ndarray   # (d, r) complex  Gi^{1/2} U
+    Ri_i: jnp.ndarray   # (d, r) complex  Gi^{-1/2} U
+    q0: jnp.ndarray     # (d,)
+    p0: jnp.ndarray     # (d,)
+    G0: jnp.ndarray     # (d, d)   Gamma_0
+    iGi0: jnp.ndarray   # (d, d)   pseudo-inverse of Gamma_i + Gamma_0
+    R: jnp.ndarray      # (d, d)   Gamma_0 [Gi+G0]^{-1} Gamma_i
+    U: jnp.ndarray      # (d, r)
+    csoi0: OverlapParams  # <.,Gi | .,G0>
+    csot0: OverlapParams  # <.,Gt | .,G0>
+    csott: OverlapParams  # <.,Gt | .,Gt>
+    wf: WavefunctionParams  # Gamma_t
+    dim: int
+    rank: int
+
+
+@pytree_dataclass
+class BatchConstants:
+    """Per-batch constants: initial conditions and precomputed observables."""
+
+    qi: jnp.ndarray       # (n, d)  initial positions
+    pi: jnp.ndarray       # (n, d)  initial momenta
+    prob: jnp.ndarray     # (n,)    sampling densities P(qi, pi)
+    weight: jnp.ndarray   # (n,)    1 / (n P(qi,pi) (2 pi hbar)^d)
+    vi: jnp.ndarray       # (n,) complex  <qi,pi,Gi|phi(0)>
+    nacq: jnp.ndarray     # (n,) complex  initial-point NAC factor of k~ic
+
+
+def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype):
+    cdtype = complex_dtype(dtype)
+    sqGi, isqGi = linalg.sym_sqrtm(Gamma_i)
+    sqGt, isqGt = linalg.sym_sqrtm(Gamma_t)
+    Uc = U.astype(np.complex128)
+    R = Gamma_0 @ iGi0 @ Gamma_i
+    return HKParams(
+        Lt_s=jnp.asarray(Uc.T @ sqGt, dtype=cdtype),
+        Lt_i=jnp.asarray(Uc.T @ isqGt, dtype=cdtype),
+        Ri_s=jnp.asarray(sqGi @ Uc, dtype=cdtype),
+        Ri_i=jnp.asarray(isqGi @ Uc, dtype=cdtype),
+        q0=jnp.asarray(q0, dtype=dtype),
+        p0=jnp.asarray(p0, dtype=dtype),
+        G0=jnp.asarray(Gamma_0, dtype=dtype),
+        iGi0=jnp.asarray(iGi0, dtype=dtype),
+        R=jnp.asarray(R, dtype=dtype),
+        U=jnp.asarray(U, dtype=dtype),
+        csoi0=OverlapParams.create(Gamma_i, Gamma_0, dtype=dtype),
+        csot0=OverlapParams.create(Gamma_t, Gamma_0, dtype=dtype),
+        csott=OverlapParams.create(Gamma_t, Gamma_t, dtype=dtype),
+        wf=WavefunctionParams.create(Gamma_t, dtype=dtype),
+        dim=int(q0.shape[0]),
+        rank=int(U.shape[1]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# functional core
+# ---------------------------------------------------------------------------
+
+def hk_prefactor_det(params: HKParams, state: TrajState):
+    """C^2(t) for every trajectory, shape (n,) complex."""
+    cdtype = params.Lt_s.dtype
+    Mqq = state.Mqq.astype(cdtype)
+    Mqp = state.Mqp.astype(cdtype)
+    Mpq = state.Mpq.astype(cdtype)
+    Mpp = state.Mpp.astype(cdtype)
+
+    # group by shared left factor: two (n, d, r) inner products then two
+    # (r, d) x (n, d, r) contractions
+    inner_s = Mqq @ params.Ri_i - (1j * hbar) * (Mqp @ params.Ri_s)
+    inner_i = Mpp @ params.Ri_s + (1j / hbar) * (Mpq @ params.Ri_i)
+    mat = 0.5 * (jnp.einsum("ai,nib->nab", params.Lt_s, inner_s)
+                 + jnp.einsum("ai,nib->nab", params.Lt_i, inner_i))
+    return linalg.batched_det(mat)
+
+
+def _nac_factor(params: HKParams, potential, x, pvec, sign):
+    """The NAC factor entering k~ic (reference propagators.py:888-903).
+
+    nac = n2 + (q0 - x)^T R n1 + sign * i/hbar pvec . n1
+    with n1 = -hbar^2 tau1/m, n2 = -hbar^2/2 sum_k tau2_k/m_k.
+    sign = +1 at the initial point (q), -1 at the current point (Q).
+    """
+    inv_m = 1.0 / potential.masses()
+    tau1 = potential.derivative_coupling_1st(x)
+    tau2 = potential.derivative_coupling_2nd(x)
+    n1 = -(hbar**2) * tau1 * inv_m[None, :]                 # (n, d)
+    n2 = -(hbar**2) * 0.5 * jnp.sum(tau2 * inv_m[None, :], axis=1)  # (n,)
+    dq = params.q0[None, :] - x
+    core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R, n1)
+    return core + sign * (1j / hbar) * jnp.einsum("na,na->n", pvec, n1)
+
+
+def _shifted_momentum(params: HKParams, p):
+    """p0 + Gamma_0 [Gi+G0]^{-1} (p - p0)  (reference propagators.py:894-895)."""
+    return params.p0[None, :] + (p - params.p0[None, :]) @ (params.G0 @ params.iGi0).T
+
+
+def hk_batch_constants(params: HKParams, qi, pi, prob,
+                       potential=None) -> BatchConstants:
+    """Precompute everything that depends only on the initial conditions.
+
+    If `potential` is given, the initial-point NAC factor of k~ic is filled
+    in; otherwise it is zero and can be added later via `with_nacq`.
+    """
+    n = qi.shape[0]
+    weight = 1.0 / (n * prob * (2.0 * np.pi * hbar) ** params.dim)
+    vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
+    if potential is None:
+        nacq = jnp.zeros(n, dtype=vi.dtype)
+    else:
+        pvec = _shifted_momentum(params, pi)
+        nacq = _nac_factor(params, potential, qi, pvec.astype(vi.dtype), +1.0)
+    return BatchConstants(qi=qi, pi=pi, prob=prob, weight=weight,
+                          vi=vi, nacq=nacq)
+
+
+def with_nacq(params: HKParams, bc: BatchConstants, potential) -> BatchConstants:
+    pvec = _shifted_momentum(params, bc.pi)
+    nacq = _nac_factor(params, potential, bc.qi, pvec.astype(bc.vi.dtype), +1.0)
+    return replace(bc, nacq=nacq)
+
+
+def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
+                   c_signed):
+    """Per-trajectory contribution to the autocorrelation function
+    (reference propagators.py:784-807)."""
+    vt = overlap_vector(params.csot0, state.q, state.p, params.q0, params.p0)
+    phase = jnp.exp((1j / hbar) * state.S.astype(c_signed.dtype))
+    return jnp.conj(vt) * bc.vi * c_signed * phase
+
+
+def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
+                   c_signed, t, potential, en0):
+    """(C_auto(t), k~ic(t)) reduced over the trajectory batch
+    (reference propagators.py:809-911)."""
+    cauto_qp = hk_autocorr_qp(params, bc, state, c_signed)
+    dyn_phase = jnp.exp((1j / hbar) * t * en0)
+    cauto = jnp.sum(cauto_qp * bc.weight) * dyn_phase
+
+    PI = _shifted_momentum(params, state.p)
+    nacQ = _nac_factor(params, potential, state.q, PI.astype(c_signed.dtype),
+                       -1.0)
+    kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
+    kic = jnp.sum(kic_qp * bc.weight) * dyn_phase
+    return cauto, kic
+
+
+def hk_coefficients(params: HKParams, bc: BatchConstants, state: TrajState,
+                    c_signed):
+    """Expansion coefficients v_i of the HK wavefunction in the coherent-state
+    basis (reference propagators.py:657-686)."""
+    phase = jnp.exp((1j / hbar) * state.S.astype(c_signed.dtype))
+    return c_signed * phase * bc.vi * bc.weight
+
+
+def pairwise_norm(overlap_params, q, p, v, block=4096):
+    """|psi| = sqrt( sum_ij v_i^* <g_i|g_j> v_j ) by blocked accumulation.
+
+    O(n^2) — opt-in convergence diagnostic (reference propagators.py:734-782).
+    Blocks are computed under jit; the block loop is a static host loop.
+    """
+    n = q.shape[0]
+    nblocks = -(-n // block)
+
+    @jax.jit
+    def block_term(qi, pi, vi, qj, pj, vj):
+        olap = overlap_matrix(overlap_params, qi, pi, qj, pj)
+        return jnp.einsum("i,ij,j", jnp.conj(vi), olap, vj)
+
+    norm2 = 0.0 + 0.0j
+    for ib in range(nblocks):
+        sl_i = slice(ib * block, min((ib + 1) * block, n))
+        for jb in range(nblocks):
+            sl_j = slice(jb * block, min((jb + 1) * block, n))
+            norm2 += complex(block_term(q[sl_i], p[sl_i], v[sl_i],
+                                        q[sl_j], p[sl_j], v[sl_j]))
+    return float(np.sqrt(norm2.real))
+
+
+def check_energy_conservation(energies, change_tol=1.0e-2):
+    """Post-scan guard: raise if the batch-mean <T+V> drifts between steps
+    (reference propagators.py:385-398) or if the trace contains NaNs."""
+    energies = np.asarray(energies)
+    if np.isnan(energies).any():
+        raise RuntimeError("NaN encountered in trajectory energies")
+    change = np.abs(np.diff(energies))
+    if change.size and change.max() > change_tol:
+        step = int(np.argmax(change))
+        logger.error("  energy conservation violated")
+        logger.error(
+            f"  <T+V>(t-dt)= {energies[step]}, <T+V>(t)= {energies[step + 1]}"
+        )
+        raise RuntimeError(
+            "average energy of classical trajectories is not conserved, "
+            f"change= {change.max()} Hartree"
+        )
+
+
+# ---------------------------------------------------------------------------
+# scan driver
+# ---------------------------------------------------------------------------
+
+def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt, en0):
+    def body(carry, _):
+        state, tracker, t = carry
+        c2 = hk_prefactor_det(params, state)
+        tracker = tracker.update(c2)
+        c = jnp.sqrt(c2) * tracker.signs
+        cauto, kic = hk_observables(params, bc, state, c, t, potential, en0)
+        new_state, en = rk4_step(state, potential, dt)
+        return (new_state, tracker, t + dt), (cauto, kic, en)
+
+    return lax.scan(body, (state0, tracker0, t0), None, length=nt)
+
+
+_hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt",))
+
+
+# ---------------------------------------------------------------------------
+# stateful wrapper (reference-shaped API)
+# ---------------------------------------------------------------------------
+
+class HermanKlukPropagator:
+    """Stateful convenience wrapper over the functional HK core.
+
+    Mirrors the reference API (initial_conditions / step / autocorrelation /
+    ic_correlation / norm / wavefunction) for granular use and adds the fast
+    path `propagate(potential, dt, nt)` that runs the whole time loop in one
+    jitted scan.
+    """
+
+    def __init__(self, Gamma_i, Gamma_t, dtype=jnp.float64):
+        Gamma_i = np.asarray(Gamma_i, dtype=np.float64)
+        Gamma_t = np.asarray(Gamma_t, dtype=np.float64)
+        assert linalg.is_symmetric_non_negative(Gamma_i), (
+            "Gamma_i has to be symmetric and positive semi-definite."
+        )
+        assert linalg.is_symmetric_non_negative(Gamma_t), (
+            "Gamma_t has to be symmetric and positive semi-definite."
+        )
+        self.Gamma_i = Gamma_i
+        self.Gamma_t = Gamma_t
+        self.dtype = dtype
+
+    # -- hooks shared with the WM subclass -----------------------------------
+
+    def _make_params(self, Gamma_0, q0, p0, U, iGi0):
+        return _build_hk_params(self.Gamma_i, self.Gamma_t, Gamma_0,
+                                q0, p0, U, iGi0, self.dtype)
+
+    def _make_trackers(self, state):
+        c2 = hk_prefactor_det(self.params, state)
+        return {"prefactorC": SignTracker.fresh(c2)}
+
+    def _scan(self, potential, dt, nt, en0):
+        return _hk_scan_jit(
+            self.params, self._bc, potential, self.state,
+            self.trackers["prefactorC"],
+            jnp.asarray(self.t, dtype=self.dtype),
+            jnp.asarray(dt, dtype=self.dtype), nt,
+            jnp.asarray(en0, dtype=self.dtype),
+        )
+
+    def _store_scan_carry(self, carry):
+        state, tracker, t = carry
+        self.state = state
+        self.trackers["prefactorC"] = tracker
+        self.t = float(t)
+
+    # -- setup ---------------------------------------------------------------
+
+    def initial_conditions(self, q0, p0, Gamma_0, ntraj=5000, key=None,
+                           potential=None):
+        """Sample initial phase-space points and initialise the state.
+
+        Parameters
+        ----------
+        q0, p0 : (d,) center and momentum of the initial wavepacket
+        Gamma_0 : (d, d) width matrix of the initial wavepacket
+        ntraj : number of trajectories
+        key : jax PRNG key (or int seed); fresh entropy each call if omitted
+        potential : optional; if given, the k~ic batch constants are built now
+        """
+        if key is None:
+            key = int(np.random.SeedSequence().entropy % (2**63))
+        if isinstance(key, int):
+            key = jax.random.key(key)
+
+        q0 = np.asarray(q0, dtype=np.float64)
+        p0 = np.asarray(p0, dtype=np.float64)
+        Gamma_0 = np.asarray(Gamma_0, dtype=np.float64)
+
+        sampling = SamplingParams.create(q0, p0, Gamma_0, self.Gamma_i,
+                                         dtype=self.dtype)
+        self.sampling = sampling
+        self.params = self._make_params(
+            Gamma_0, q0, p0, np.asarray(sampling.U), np.asarray(sampling.iGi0)
+        )
+
+        qi, pi, prob = sample_initial_conditions(sampling, key, ntraj)
+        logger.info("== Initial Conditions ==")
+        logger.info(f"number of dimensions   :  {self.params.dim}")
+        logger.info(f"zero dimensions        :  "
+                    f"{self.params.dim - self.params.rank}")
+        logger.info(f"number of trajectories :  {ntraj}")
+
+        self.ntraj = ntraj
+        self.state = TrajState.initial(qi, pi, dtype=self.dtype)
+        self._bc = self._make_batch_constants(self.state.q, self.state.p,
+                                              prob, potential)
+        self._bc_has_nacq = potential is not None
+        self.trackers = self._make_trackers(self.state)
+        self.t = 0.0
+
+    def _make_batch_constants(self, qi, pi, prob, potential):
+        return hk_batch_constants(self.params, qi, pi, prob,
+                                  potential=potential)
+
+    def _require_nacq(self, potential):
+        if not self._bc_has_nacq:
+            self._bc = with_nacq(self.params, self._bc, potential)
+            self._bc_has_nacq = True
+
+    # -- fast path ------------------------------------------------------------
+
+    def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True):
+        """Run `nt` steps in one jitted scan.
+
+        Returns (autocorrelation (nt,), ic_correlation (nt,)) as numpy
+        arrays sampled at t0, t0 + dt, ..., t0 + (nt-1) dt; the internal
+        state advances by nt steps.
+        """
+        self._require_nacq(potential)
+        carry, (cauto, kic, energies) = self._scan(
+            potential, dt, nt, energy0_es)
+        self._store_scan_carry(carry)
+        if check_energy:
+            check_energy_conservation(energies)
+        return np.asarray(cauto), np.asarray(kic)
+
+    # -- granular (reference-shaped) API --------------------------------------
+
+    def step(self, potential, dt):
+        """Advance one time step t -> t + dt (updates all sign trackers)."""
+        carry, _ = self._scan(potential, dt, 1, 0.0)
+        self._store_scan_carry(carry)
+
+    def semiclassical_prefactor(self):
+        """Sign-aligned HK prefactor C(t) at the *current* state, (n,) complex.
+
+        Syncs the branch-cut tracker to the current state first (a no-op if
+        already synced: the crossing condition is false for identical values).
+        """
+        c2 = hk_prefactor_det(self.params, self.state)
+        tracker = self.trackers["prefactorC"].update(c2)
+        self.trackers["prefactorC"] = tracker
+        return jnp.sqrt(tracker.previous) * tracker.signs
+
+    def autocorrelation(self, energy0_es=0.0):
+        c = self.semiclassical_prefactor()
+        cauto_qp = hk_autocorr_qp(self.params, self._bc, self.state, c)
+        cauto = jnp.sum(cauto_qp * self._bc.weight)
+        return complex(cauto) * np.exp(1j / hbar * self.t * energy0_es)
+
+    def ic_correlation(self, potential, energy0_es=0.0):
+        self._require_nacq(potential)
+        c = self.semiclassical_prefactor()
+        _, kic = hk_observables(self.params, self._bc, self.state, c,
+                                jnp.asarray(self.t), potential, energy0_es)
+        return complex(kic)
+
+    def coefficients(self):
+        return hk_coefficients(self.params, self._bc, self.state,
+                               self.semiclassical_prefactor())
+
+    def norm(self):
+        """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic)."""
+        v = self.coefficients()
+        return pairwise_norm(self.params.csott, self.state.q, self.state.p, v)
+
+    def wavefunction(self, x):
+        """psi(x, t) on a spatial grid x of shape (nx, d)."""
+        v = self.coefficients()
+        return np.asarray(wavefunction(self.params.wf, self.state.q,
+                                       self.state.p, v, jnp.asarray(x)))
+
+    def initial_positions_and_momenta(self):
+        return self._bc.qi, self._bc.pi
+
+    def current_positions_and_momenta(self):
+        return self.state.q, self.state.p
+
+    def classical_action(self):
+        return self.state.S

@@ -1,0 +1,81 @@
+# coding: utf-8
+"""Scan-carried state pytrees.
+
+The reference packs (q, p, Mqq, Mqp, Mpq, Mpp, S) into one flat
+(4 d^2 + 2 d + 1, n) tensor so its generic RK4 can treat the solution as a
+vector (reference propagators.py:321-376). In JAX, `tree_map` gives the same
+genericity over a structured pytree for free, so the state keeps its natural
+shapes — with the trajectory axis *leading* so every monodromy product is a
+batched matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from semiclassical_tpu.pytree import pytree_dataclass
+
+__all__ = ["TrajState", "SignTracker"]
+
+
+@pytree_dataclass
+class TrajState:
+    """Classical trajectories plus monodromy (stability) matrices and action.
+
+    q, p : (n, d)          positions / momenta
+    Mqq, Mqp, Mpq, Mpp : (n, d, d)
+        monodromy blocks  M_ab = d a(t) / d b(0)
+    S : (n,)               classical action integral of (T - V)
+    """
+
+    q: jnp.ndarray
+    p: jnp.ndarray
+    Mqq: jnp.ndarray
+    Mqp: jnp.ndarray
+    Mpq: jnp.ndarray
+    Mpp: jnp.ndarray
+    S: jnp.ndarray
+
+    @staticmethod
+    def initial(q, p, dtype=None):
+        """Monodromy = identity, action = 0 (reference propagators.py:589-603)."""
+        if dtype is not None:
+            q = q.astype(dtype)
+            p = p.astype(dtype)
+        n, d = q.shape
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=q.dtype), (n, d, d))
+        zeros = jnp.zeros((n, d, d), dtype=q.dtype)
+        return TrajState(
+            q=q, p=p,
+            Mqq=eye, Mqp=zeros, Mpq=zeros, Mpp=eye,
+            S=jnp.zeros((n,), dtype=q.dtype),
+        )
+
+
+@pytree_dataclass
+class SignTracker:
+    """Branch-cut tracking state for sqrt(z(t)) along the propagation.
+
+    sqrt has a branch cut on the negative real axis; to keep sqrt(z(t))
+    continuous in time the sign flips whenever z crosses the cut
+    (reference propagators.py:1006-1066). `previous` holds z(t - dt),
+    `signs` the accumulated +-1 per trajectory.
+    """
+
+    previous: jnp.ndarray  # (n,) complex  z at the previous evaluation
+    signs: jnp.ndarray     # (n,) real     accumulated sign of sqrt
+
+    @staticmethod
+    def fresh(z):
+        return SignTracker(previous=z, signs=jnp.ones(z.shape, dtype=z.real.dtype))
+
+    def update(self, z):
+        """Advance the tracker to the new value z(t); returns the new tracker.
+
+        The crossing condition (Re z1 < 0) & (Re z2 < 0) & (Im z1 Im z2 < 0)
+        is elementwise (reference propagators.py:1045-1047).
+        """
+        z1, z2 = self.previous, z
+        cond = (z1.real < 0) & (z2.real < 0) & (z1.imag * z2.imag < 0)
+        signs = jnp.where(cond, -self.signs, self.signs)
+        return SignTracker(previous=z, signs=signs)

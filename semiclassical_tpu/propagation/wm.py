@@ -1,0 +1,574 @@
+# coding: utf-8
+"""Walton-Manolopoulos (WM) semiclassical IVR propagator.
+
+[WM] A. Walton, D. Manolopoulos, Mol. Phys. 87, 961-978 (1996)
+
+The WM propagator is the Filinov-smoothed, cell-integrated variant of HK:
+the function L = log C + i S / hbar is expanded to quadratic order around
+each initial phase-space point and the integral over a phase-space cell of
+widths ~ alpha^{-1/2}, beta^{-1/2} is carried out analytically, giving per-
+trajectory Gaussian parameter tensors (eqns. 50-84) and modified observables
+(eqns. 85-100). Capability parity with reference propagators.py:1077-1719.
+
+TPU-first design decisions (beyond those shared with hk.py):
+
+* everything that touches the 2d-dimensional phase space is built directly
+  in the *projected* non-zero subspace of dimension 2r: the monodromy blocks
+  are right-multiplied by U once per step (4 real (n, d, r) matmuls) and all
+  (2d, 2d) algebra of the reference (A assembly, inverse, determinant —
+  propagators.py:1232-1259) shrinks to (2r, 2r);
+* the reference computes b0 = gradL - i/hbar (Mqz^T P - Eqz^T p)
+  (eqn. 55, propagators.py:1266-1268). With the WM approximation
+  gradL = i/hbar (Mqq^T P - p, Mqp^T P) (eqns. A4-A5) this is *identically
+  zero* — the two expressions are the same contraction — so b0, and with it
+  the b0-dependent shifts of eqns. 60, 74 (pi_t = P, pi_i = p,
+  eps = -1/(2 hbar^2) (p0-p)^T [Gi+G0]^{-1} (p0-p)), are simplified
+  analytically. eps and PIq (eqn. 72) then depend only on the initial
+  momenta and are precomputed per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from semiclassical_tpu import linalg
+from semiclassical_tpu.coherent import overlap_matrix  # noqa: F401 (norm)
+from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.hk import (
+    BatchConstants,
+    HKParams,
+    HermanKlukPropagator,
+    _build_hk_params,
+    check_energy_conservation,
+    complex_dtype,
+    hk_autocorr_qp,
+    hk_batch_constants,
+    hk_prefactor_det,
+    with_nacq,
+)
+from semiclassical_tpu.propagation.state import SignTracker, TrajState
+from semiclassical_tpu.pytree import pytree_dataclass, replace
+from semiclassical_tpu.units import hbar
+
+__all__ = ["WMParams", "WMBatchConstants", "WaltonManolopoulosPropagator"]
+
+
+@pytree_dataclass(meta=("dim", "rank"))
+class WMParams:
+    """Constant parameter pack of the WM propagator.
+
+    Pseudo-determinants absorb their pi / 2 pi factors as in the reference
+    (propagators.py:1107-1125): detG0 = det(G0)/pi^r etc.,
+    detGi0 = det(Gi+G0)/(2 pi)^r.
+    """
+
+    hk: HKParams
+    alpha: jnp.ndarray       # ()
+    beta: jnp.ndarray        # ()
+    detG0: jnp.ndarray       # ()  pseudo-det of Gamma_0 / pi^r
+    detGi: jnp.ndarray       # ()
+    detGt: jnp.ndarray       # ()
+    detGi0: jnp.ndarray      # ()  pseudo-det of (Gi+G0) / (2 pi)^r
+    Gt: jnp.ndarray          # (d, d)  Gamma_t
+    A_const: jnp.ndarray     # (2r, 2r) complex: 2 F' + [[U^T Gi U, 0],[0,0]]
+                             #                   - 2i/hbar [[0,0],[I_r,0]]
+    BqU: jnp.ndarray         # (d, 2r) complex: [Gi U, -i/hbar U]
+    G0U: jnp.ndarray         # (d, r)  Gamma_0 U
+    UtG0U: jnp.ndarray       # (r, r)  U^T Gamma_0 U
+    Cqq: jnp.ndarray         # (d, d)  G0 - G0 [Gi+G0]^{-1} G0  (eqn. 69)
+    G0iGi0: jnp.ndarray      # (d, d)  G0 [Gi+G0]^{-1}
+    dim: int
+    rank: int
+
+
+@pytree_dataclass
+class WMBatchConstants:
+    """HK batch constants plus WM-specific initial-point quantities."""
+
+    base: BatchConstants
+    eps: jnp.ndarray     # (n,)   eqn. 74 with b0 = 0 (time-independent)
+    PIq: jnp.ndarray     # (n, d) eqn. 72 with pi_i = p (time-independent)
+    n1q: jnp.ndarray     # (n, d) -hbar^2 tau1(q)/m
+    n2q: jnp.ndarray     # (n,)   -hbar^2/2 sum_k tau2_k(q)/m_k
+
+
+@pytree_dataclass
+class WMDerived:
+    """Per-step derived tensors of the WM propagator (eqns. 50-84)."""
+
+    detA: jnp.ndarray   # (n,) complex  det(A' / 2 sqrt(alpha beta))
+    detM: jnp.ndarray   # (n,) complex  det(M' / 2 pi)
+    CQQ: jnp.ndarray    # (n, d, d) complex  (eqn. 70)
+    CqQ: jnp.ndarray    # (n, d, d) complex  (eqn. 71)
+    PIQ: jnp.ndarray    # (n, d) complex     (eqn. 73)
+    Rqq: jnp.ndarray    # (n, d, d) complex  (eqn. 79)
+    RQQ: jnp.ndarray    # (n, d, d) complex  (eqn. 80)
+    RqQ: jnp.ndarray    # (n, d, d) complex  (eqn. 81)
+    Pq: jnp.ndarray     # (n, d) complex     (eqn. 82)
+    PQ: jnp.ndarray     # (n, d) complex     (eqn. 83)
+    gamma: jnp.ndarray  # (n,) complex       (eqn. 84)
+
+
+def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
+                     dtype):
+    cdtype = complex_dtype(dtype)
+    U = np.asarray(hk.U, dtype=np.float64)
+    r = hk.rank
+    iG0 = linalg.pseudo_inverse(Gamma_0)
+    iGi0 = np.asarray(hk.iGi0, dtype=np.float64)
+    G0iGi0 = Gamma_0 @ iGi0
+
+    # A's constant part in the projected 2r space:
+    #   2 blockdiag(alpha U^T G0 U, beta U^T iG0 U)
+    #   + [[U^T Gi U, 0], [0, 0]] - 2i/hbar [[0, 0], [I_r, 0]]
+    # (reference propagators.py:1227-1238)
+    A_const = np.zeros((2 * r, 2 * r), dtype=np.complex128)
+    A_const[:r, :r] = 2.0 * alpha * (U.T @ Gamma_0 @ U) + U.T @ Gamma_i @ U
+    A_const[r:, r:] = 2.0 * beta * (U.T @ iG0 @ U)
+    A_const[r:, :r] = -2j / hbar * np.eye(r)
+
+    # Bq U2 = [Gi U, -i/hbar U]  (eqn. 54 projected; constant)
+    BqU = np.concatenate(
+        [Gamma_i @ U, (-1j / hbar) * U.astype(np.complex128)], axis=1
+    )
+
+    return WMParams(
+        hk=hk,
+        alpha=jnp.asarray(alpha, dtype=dtype),
+        beta=jnp.asarray(beta, dtype=dtype),
+        detG0=jnp.asarray(linalg.pseudo_det(Gamma_0, scale=np.pi),
+                          dtype=dtype),
+        detGi=jnp.asarray(linalg.pseudo_det(Gamma_i, scale=np.pi),
+                          dtype=dtype),
+        detGt=jnp.asarray(linalg.pseudo_det(Gamma_t, scale=np.pi),
+                          dtype=dtype),
+        detGi0=jnp.asarray(
+            linalg.pseudo_det(Gamma_0 + Gamma_i, scale=2 * np.pi),
+            dtype=dtype),
+        Gt=jnp.asarray(Gamma_t, dtype=dtype),
+        A_const=jnp.asarray(A_const, dtype=cdtype),
+        BqU=jnp.asarray(BqU, dtype=cdtype),
+        G0U=jnp.asarray(Gamma_0 @ U, dtype=dtype),
+        UtG0U=jnp.asarray(U.T @ Gamma_0 @ U, dtype=dtype),
+        Cqq=jnp.asarray(Gamma_0 - Gamma_0 @ iGi0 @ Gamma_0, dtype=dtype),
+        G0iGi0=jnp.asarray(G0iGi0, dtype=dtype),
+        dim=hk.dim,
+        rank=hk.rank,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-step derived quantities
+# ---------------------------------------------------------------------------
+
+def wm_derived(params: WMParams, bc: WMBatchConstants,
+               state: TrajState) -> WMDerived:
+    """All per-trajectory WM tensors for the current state (eqns. 50-84)."""
+    hk = params.hk
+    cdtype = hk.Lt_s.dtype
+    U = hk.U                                     # (d, r)
+    r = params.rank
+    p0 = hk.p0
+
+    # project monodromy blocks once: (n, d, r) real matmuls
+    MqqU = state.Mqq @ U
+    MqpU = state.Mqp @ U
+    MpqU = state.Mpq @ U
+    MppU = state.Mpp @ U
+    MqzU = jnp.concatenate([MqqU, MqpU], axis=2)   # (n, d, 2r)
+    MpzU = jnp.concatenate([MpqU, MppU], axis=2)   # (n, d, 2r)
+
+    # hess(L)' = i/hbar [[Mpq^T Mqq, Mpq^T Mqp], [Mqp^T Mpq, Mqp^T Mpp]]
+    # projected (eqns. A6-A9, reference propagators.py:1179-1191)
+    Sqq = jnp.einsum("nia,nib->nab", MpqU, MqqU)
+    Sqp = jnp.einsum("nia,nib->nab", MpqU, MqpU)
+    Spq = jnp.einsum("nia,nib->nab", MqpU, MpqU)
+    Spp = jnp.einsum("nia,nib->nab", MqpU, MppU)
+    hessL = (1j / hbar) * jnp.concatenate([
+        jnp.concatenate([Sqq, Sqp], axis=2),
+        jnp.concatenate([Spq, Spp], axis=2)], axis=1)      # (n, 2r, 2r)
+
+    # A' (eqn. 50 projected)
+    GtMqzU = jnp.einsum("ij,njb->nib", params.Gt, MqzU)    # (n, d, 2r)
+    A = (params.A_const[None]
+         - hessL
+         + jnp.einsum("nia,nib->nab", MqzU, GtMqzU).astype(cdtype)
+         + (2j / hbar) * jnp.einsum("nia,nib->nab", MpzU, MqzU))
+
+    iA = linalg.batched_inv(A)                              # (n, 2r, 2r)
+    # det(A / 2 sqrt(alpha beta)) — the limit of det(A) is
+    # (2 sqrt(alpha beta))^{2r} for alpha, beta -> oo, so the scaled
+    # determinant is O(1) (reference propagators.py:1312-1332)
+    detA = linalg.batched_det(A / (2.0 * jnp.sqrt(params.alpha * params.beta)))
+
+    # BQ U2 = Gt Mqz U2 + i/hbar Mpz U2 (eqn. 53 projected)
+    BQU = GtMqzU.astype(cdtype) + (1j / hbar) * MpzU        # (n, d, 2r)
+
+    # eqn. 57: Gt(t) = Gt - BQ iA BQ^T
+    iA_BQ = jnp.einsum("nab,njb->naj", iA, BQU)             # (n, 2r, d)
+    Gt_t = params.Gt.astype(cdtype)[None] - jnp.einsum(
+        "nia,naj->nij", BQU, iA_BQ)
+    # eqn. 59: Gti = BQ iA Bq^T  (Bq is constant)
+    iA_Bq = jnp.einsum("nab,jb->naj", iA, params.BqU)       # (n, 2r, d)
+    Gti = jnp.einsum("nia,naj->nij", BQU, iA_Bq)            # (n, d, d)
+
+    # eqns. 68-73 (with pi_i = p, pi_t = P since b0 = 0)
+    iGi0 = hk.iGi0
+    Gti_iGi0 = jnp.einsum("nij,jk->nik", Gti, iGi0.astype(cdtype))
+    CQQ = Gt_t - jnp.einsum("nik,nlk->nil", Gti_iGi0, Gti)            # (70)
+    CqQ = jnp.einsum("ik,nlk->nil", params.G0iGi0.astype(cdtype), Gti)  # (71)
+    dp0 = (p0[None, :] - bc.base.pi).astype(cdtype)         # (n, d)
+    PIQ = state.p.astype(cdtype) + jnp.einsum("nik,nk->ni", Gti_iGi0, dp0)  # (73)
+
+    # eqn. 78: M = G0 + CQQ, projected to the non-zero subspace
+    Mp = params.UtG0U.astype(cdtype)[None] + jnp.einsum(
+        "ia,nij,jb->nab", U.astype(cdtype), CQQ, U.astype(cdtype))
+    iM = linalg.batched_inv(Mp)                             # (n, r, r)
+    detM = linalg.batched_det(Mp / (2.0 * np.pi))
+
+    # eqns. 79-84 with iM folded through U
+    CqQU = CqQ @ U.astype(cdtype)                           # (n, d, r)
+    G0U = params.G0U.astype(cdtype)                         # (d, r)
+    iM_CqQ = jnp.einsum("nab,njb->naj", iM, CqQU)           # (n, r, d)
+    Rqq = params.Cqq.astype(cdtype)[None] - jnp.einsum(
+        "nia,naj->nij", CqQU, iM_CqQ)                                  # (79)
+    iM_G0 = jnp.einsum("nab,jb->naj", iM, G0U)              # (n, r, d)
+    RQQ = hk.G0.astype(cdtype)[None] - jnp.einsum(
+        "ia,naj->nij", G0U, iM_G0)                                     # (80)
+    RqQ = jnp.einsum("nia,naj->nij", CqQU, iM_G0)                      # (81)
+
+    dPIQ = PIQ - p0[None, :].astype(cdtype)                 # PIQ - p0
+    dPIQ_U = dPIQ @ U.astype(cdtype)                        # (n, r)
+    iM_dPIQ = jnp.einsum("nab,nb->na", iM, dPIQ_U)          # (n, r)
+    Pq = bc.PIq.astype(cdtype) - jnp.einsum("nia,na->ni", CqQU, iM_dPIQ)  # (82)
+    PQ = p0[None, :].astype(cdtype) + jnp.einsum("ia,na->ni", G0U, iM_dPIQ)  # (83)
+    gamma = bc.eps.astype(cdtype) - (0.5 / hbar**2) * jnp.einsum(
+        "na,na->n", dPIQ_U, iM_dPIQ)                                   # (84)
+
+    return WMDerived(detA=detA, detM=detM, CQQ=CQQ, CqQ=CqQ, PIQ=PIQ,
+                     Rqq=Rqq, RQQ=RQQ, RqQ=RqQ, Pq=Pq, PQ=PQ, gamma=gamma)
+
+
+# ---------------------------------------------------------------------------
+# batch constants
+# ---------------------------------------------------------------------------
+
+def wm_batch_constants(params: WMParams, qi, pi, prob,
+                       potential=None) -> WMBatchConstants:
+    base = hk_batch_constants(params.hk, qi, pi, prob, potential=potential)
+    dp0 = params.hk.p0[None, :] - pi
+    # eps (eqn. 74 with b0 = 0) and PIq (eqn. 72 with pi_i = p)
+    eps = -(0.5 / hbar**2) * jnp.einsum("na,ab,nb->n", dp0, params.hk.iGi0,
+                                        dp0)
+    PIq = params.hk.p0[None, :] - dp0 @ params.G0iGi0.T
+    if potential is None:
+        n1q = jnp.zeros_like(qi)
+        n2q = jnp.zeros(qi.shape[0], dtype=qi.dtype)
+    else:
+        n1q, n2q = _nac_terms(potential, qi)
+    return WMBatchConstants(base=base, eps=eps, PIq=PIq, n1q=n1q, n2q=n2q)
+
+
+def _nac_terms(potential, x):
+    """n1 = -hbar^2 tau1/m (n, d), n2 = -hbar^2/2 sum_k tau2_k/m_k (n,)
+    (eqns. 89-90, reference propagators.py:1692-1697)."""
+    inv_m = 1.0 / potential.masses()
+    tau1 = potential.derivative_coupling_1st(x)
+    tau2 = potential.derivative_coupling_2nd(x)
+    n1 = -(hbar**2) * tau1 * inv_m[None, :]
+    n2 = -(hbar**2) * 0.5 * jnp.sum(tau2 * inv_m[None, :], axis=1)
+    return n1, n2
+
+
+# ---------------------------------------------------------------------------
+# observables
+# ---------------------------------------------------------------------------
+
+def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
+                   derived: WMDerived, c_signed, signs_A, signs_M):
+    """Per-trajectory autocorrelation contribution (eqn. 85,
+    reference propagators.py:1577-1614)."""
+    hk = params.hk
+    cdtype = c_signed.dtype
+    q0 = hk.q0[None, :].astype(cdtype)
+    dq = q0 - bc.base.qi.astype(cdtype)          # q0 - q(0)
+    dQ = q0 - state.q.astype(cdtype)             # q0 - q(t)
+
+    pref = (params.detG0**0.5 * params.detGt**0.25 * params.detGi**0.25
+            / jnp.sqrt(params.detGi0)).astype(cdtype)
+    phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
+    pref = (pref * c_signed * phase
+            * signs_A / jnp.sqrt(derived.detA)
+            * signs_M / jnp.sqrt(derived.detM))
+
+    expo = (derived.gamma
+            - 0.5 * jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, dq)
+            - 0.5 * jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, dQ)
+            + jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, dQ)
+            - (1j / hbar) * jnp.einsum("ni,ni->n", derived.Pq, dq)
+            + (1j / hbar) * jnp.einsum("ni,ni->n", derived.PQ, dQ))
+    return pref * jnp.exp(expo)
+
+
+def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
+                   derived: WMDerived, c_signed, signs_A, signs_M, t,
+                   potential, en0):
+    """(C_auto(t), k~ic(t)) reduced over the batch (eqns. 85, 89-100,
+    reference propagators.py:1616-1719)."""
+    cdtype = c_signed.dtype
+    cauto_qp = wm_autocorr_qp(params, bc, state, derived, c_signed,
+                              signs_A, signs_M)
+    weight = bc.base.weight
+    dyn_phase = jnp.exp((1j / hbar) * t * en0)
+    cauto = jnp.sum(cauto_qp * weight) * dyn_phase
+
+    n1Q, n2Q = _nac_terms(potential, state.q)
+    n1q = bc.n1q.astype(cdtype)
+    n1Q = n1Q.astype(cdtype)
+    q0 = params.hk.q0[None, :].astype(cdtype)
+    dq = q0 - bc.base.qi.astype(cdtype)
+    dQ = q0 - state.q.astype(cdtype)
+
+    nacqQ = jnp.einsum("ni,nij,nj->n", n1q, derived.RqQ, n1Q)
+    nacQ = (n2Q.astype(cdtype)
+            + jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, n1Q)
+            - jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, n1Q)
+            - (1j / hbar) * jnp.einsum("ni,ni->n", derived.PQ, n1Q))
+    # the cross term pairs (q0 - Q) with the *second* index of RqQ:
+    # sum_ij n1q_j RqQ[j, i] (q0 - Q)_i   (reference propagators.py:1709)
+    nacq = (bc.n2q.astype(cdtype)
+            + jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, n1q)
+            - jnp.einsum("nj,nji,ni->n", n1q, derived.RqQ, dQ)
+            + (1j / hbar) * jnp.einsum("ni,ni->n", derived.Pq, n1q))
+
+    kic_qp = (1.0 / hbar**2) * (nacqQ + nacQ * nacq) * cauto_qp
+    kic = jnp.sum(kic_qp * weight) * dyn_phase
+    return cauto, kic
+
+
+def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
+                    derived: WMDerived, c_signed, signs_A):
+    """Gaussian expansion coefficients (eqn. 75,
+    reference propagators.py:1391-1432). Factors of pi / 2 pi are absorbed in
+    the pseudo-determinants; the explicit 1/(2 pi)^d of eqn. 75 is the same
+    (2 pi hbar)^d already folded into the Monte-Carlo weight."""
+    cdtype = c_signed.dtype
+    q0 = params.hk.q0[None, :].astype(cdtype)
+    dq = q0 - bc.base.qi.astype(cdtype)
+    phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
+    v = ((params.detG0**0.25 * params.detGt**0.25 * params.detGi**0.25
+          / jnp.sqrt(params.detGi0)).astype(cdtype)
+         * c_signed * phase
+         * signs_A / jnp.sqrt(derived.detA)
+         * jnp.exp(bc.eps.astype(cdtype)))
+    v = v * jnp.exp(
+        -0.5 * jnp.einsum("ni,ij,nj->n", dq, params.Cqq.astype(cdtype), dq)
+        - (1j / hbar) * jnp.einsum("ni,ni->n", bc.PIq.astype(cdtype), dq))
+    return v * bc.base.weight
+
+
+def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
+                    derived: WMDerived, v, x):
+    """psi(x, t) on a grid x (nx, d) (eqn. 75,
+    reference propagators.py:1434-1482)."""
+    cdtype = v.dtype
+    dxQ = x[None, :, :].astype(cdtype) - state.q[:, None, :].astype(cdtype)
+    dq = (params.hk.q0[None, :] - bc.base.qi).astype(cdtype)
+    expo = (-0.5 * jnp.einsum("nxi,nij,nxj->nx", dxQ, derived.CQQ, dxQ)
+            + jnp.einsum("ni,nij,nxj->nx", dq, derived.CqQ, dxQ)
+            + (1j / hbar) * jnp.einsum("ni,nxi->nx", derived.PIQ, dxQ))
+    return jnp.einsum("n,nx->x", v, jnp.exp(expo))
+
+
+def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
+            derived: WMDerived, v, block=1024):
+    """|psi| of the WM wavefunction — O(n^2) with per-pair r x r inverses
+    (reference propagators.py:1484-1575). Opt-in diagnostic."""
+    hk = params.hk
+    cdtype = v.dtype
+    U = hk.U.astype(cdtype)
+    q0 = hk.q0[None, :].astype(cdtype)
+    dvec = (jnp.einsum("nji,nj->ni", derived.CqQ,
+                       q0 - bc.base.qi.astype(cdtype))
+            + (1j / hbar) * derived.PIQ)                     # (n, d)
+    Q = state.q.astype(cdtype)
+    CQQ = derived.CQQ
+
+    n = Q.shape[0]
+    nblocks = -(-n // block)
+
+    @jax.jit
+    def block_term(Qi, di, CQQi, vi, Qj, dj, CQQj, vj):
+        dQij = Qj[None, :, :] - Qi[:, None, :]               # (bi, bj, d)
+        di_ = jnp.conj(di)[:, None, :]
+        dj_ = dj[None, :, :]
+        CQQj_ = CQQj[None, :, :, :]
+        Dij = jnp.conj(CQQi)[:, None] + CQQj_                # (bi, bj, d, d)
+        # project to the non-zero subspace before inverting
+        DijU = jnp.einsum("ia,mnij,jb->mnab", U, Dij, U)
+        iDij = jnp.linalg.inv(DijU)
+        detDij = jnp.linalg.det(DijU / (2.0 * np.pi))
+        bij = (jnp.einsum("nab,mnb->mna", CQQj, dQij) + di_ + dj_)  # (bi,bj,d)
+        bijU = jnp.einsum("mna,ab->mnb", bij, U)
+        olap = (1.0 / jnp.sqrt(detDij)) * jnp.exp(
+            -0.5 * jnp.einsum("mna,nab,mnb->mn", dQij, CQQj, dQij)
+            - jnp.einsum("na,mna->mn", dj, dQij)
+            + 0.5 * jnp.einsum("mna,mnab,mnb->mn", bijU, iDij, bijU))
+        return jnp.einsum("m,mn,n", jnp.conj(vi), olap, vj)
+
+    norm2 = 0.0 + 0.0j
+    for ib in range(nblocks):
+        si = slice(ib * block, min((ib + 1) * block, n))
+        for jb in range(nblocks):
+            sj = slice(jb * block, min((jb + 1) * block, n))
+            norm2 += complex(block_term(Q[si], dvec[si], CQQ[si], v[si],
+                                        Q[sj], dvec[sj], CQQ[sj], v[sj]))
+    return float(np.sqrt(norm2.real))
+
+
+# ---------------------------------------------------------------------------
+# scan driver
+# ---------------------------------------------------------------------------
+
+def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt, en0):
+    def body(carry, _):
+        state, (tr_c, tr_A, tr_M), t = carry
+        c2 = hk_prefactor_det(params.hk, state)
+        tr_c = tr_c.update(c2)
+        c = jnp.sqrt(c2) * tr_c.signs
+        derived = wm_derived(params, bc, state)
+        tr_A = tr_A.update(derived.detA)
+        tr_M = tr_M.update(derived.detM)
+        cauto, kic = wm_observables(params, bc, state, derived, c,
+                                    tr_A.signs, tr_M.signs, t, potential, en0)
+        new_state, en = rk4_step(state, potential, dt)
+        return (new_state, (tr_c, tr_A, tr_M), t + dt), (cauto, kic, en)
+
+    return lax.scan(body, (state0, trackers0, t0), None, length=nt)
+
+
+_wm_scan_jit = jax.jit(_wm_scan, static_argnames=("nt",))
+
+
+# ---------------------------------------------------------------------------
+# stateful wrapper
+# ---------------------------------------------------------------------------
+
+class WaltonManolopoulosPropagator(HermanKlukPropagator):
+    """WM propagator with the reference-shaped API plus the jitted scan path.
+
+    Parameters
+    ----------
+    Gamma_i, Gamma_t : (d, d) width matrices of the frozen Gaussians
+    alpha, beta : float > 0
+        Filinov cell parameters; the HK propagator is integrated over a
+        phase-space cell of volume ~ (2 sqrt(alpha beta))^{-dim}; larger
+        values make the linearisation more accurate but need more
+        trajectories (reference propagators.py:1088-1093).
+    """
+
+    def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64):
+        super().__init__(Gamma_i, Gamma_t, dtype=dtype)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+
+    # -- hooks ---------------------------------------------------------------
+
+    def _make_params(self, Gamma_0, q0, p0, U, iGi0):
+        hk = _build_hk_params(self.Gamma_i, self.Gamma_t, Gamma_0,
+                              q0, p0, U, iGi0, self.dtype)
+        return _build_wm_params(hk, self.Gamma_i, self.Gamma_t, Gamma_0,
+                                self.alpha, self.beta, self.dtype)
+
+    def _make_batch_constants(self, qi, pi, prob, potential):
+        return wm_batch_constants(self.params, qi, pi, prob,
+                                  potential=potential)
+
+    def _require_nacq(self, potential):
+        if not self._bc_has_nacq:
+            base = with_nacq(self.params.hk, self._bc.base, potential)
+            n1q, n2q = _nac_terms(potential, self._bc.base.qi)
+            self._bc = replace(self._bc, base=base, n1q=n1q, n2q=n2q)
+            self._bc_has_nacq = True
+
+    def _make_trackers(self, state):
+        c2 = hk_prefactor_det(self.params.hk, state)
+        derived = wm_derived(self.params, self._bc, state)
+        return {
+            "prefactorC": SignTracker.fresh(c2),
+            "detA": SignTracker.fresh(derived.detA),
+            "detM": SignTracker.fresh(derived.detM),
+        }
+
+    def _scan(self, potential, dt, nt, en0):
+        trackers0 = (self.trackers["prefactorC"], self.trackers["detA"],
+                     self.trackers["detM"])
+        return _wm_scan_jit(
+            self.params, self._bc, potential, self.state, trackers0,
+            jnp.asarray(self.t, dtype=self.dtype),
+            jnp.asarray(dt, dtype=self.dtype), nt,
+            jnp.asarray(en0, dtype=self.dtype),
+        )
+
+    def _store_scan_carry(self, carry):
+        state, (tr_c, tr_A, tr_M), t = carry
+        self.state = state
+        self.trackers = {"prefactorC": tr_c, "detA": tr_A, "detM": tr_M}
+        self.t = float(t)
+
+    # -- granular API ---------------------------------------------------------
+
+    def semiclassical_prefactor(self):
+        c2 = hk_prefactor_det(self.params.hk, self.state)
+        tracker = self.trackers["prefactorC"].update(c2)
+        self.trackers["prefactorC"] = tracker
+        return jnp.sqrt(tracker.previous) * tracker.signs
+
+    def _sync_derived(self):
+        derived = wm_derived(self.params, self._bc, self.state)
+        self.trackers["detA"] = self.trackers["detA"].update(derived.detA)
+        self.trackers["detM"] = self.trackers["detM"].update(derived.detM)
+        return derived
+
+    def autocorrelation(self, energy0_es=0.0):
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        cauto_qp = wm_autocorr_qp(self.params, self._bc, self.state, derived,
+                                  c, self.trackers["detA"].signs,
+                                  self.trackers["detM"].signs)
+        cauto = jnp.sum(cauto_qp * self._bc.base.weight)
+        return complex(cauto) * np.exp(1j / hbar * self.t * energy0_es)
+
+    def ic_correlation(self, potential, energy0_es=0.0):
+        self._require_nacq(potential)
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        _, kic = wm_observables(self.params, self._bc, self.state, derived, c,
+                                self.trackers["detA"].signs,
+                                self.trackers["detM"].signs,
+                                jnp.asarray(self.t), potential, energy0_es)
+        return complex(kic)
+
+    def coefficients(self):
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        return wm_coefficients(self.params, self._bc, self.state, derived, c,
+                               self.trackers["detA"].signs)
+
+    def wavefunction(self, x):
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        v = wm_coefficients(self.params, self._bc, self.state, derived, c,
+                            self.trackers["detA"].signs)
+        return np.asarray(wm_wavefunction(self.params, self._bc, self.state,
+                                          derived, v, jnp.asarray(x)))
+
+    def norm(self):
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        v = wm_coefficients(self.params, self._bc, self.state, derived, c,
+                            self.trackers["detA"].signs)
+        return wm_norm(self.params, self._bc, self.state, derived, v)
