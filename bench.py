@@ -1,0 +1,76 @@
+# coding: utf-8
+"""Benchmark: HK trajectory-step throughput on the 60-mode anharmonic AS model.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is trajectory-steps/sec/chip — one unit = advancing one
+trajectory (with its 60x60 monodromy blocks) through one RK4 step *and*
+accumulating both observables C(t), k~ic(t) for that step, i.e. exactly the
+per-step work of the reference's dynamics loop (reference cli.py:401-436).
+
+Baseline: the torch reference implementation run on this machine's CPU at
+the identical configuration (d=60 Morse chi=0.02, HK, observables every
+step) measures 213.4 trajectory-steps/sec (measured 2026-08-16 with
+/tmp-style driver: ntraj=2000, nt=10, torch 2.x CPU with symeig/solve
+shims; see BASELINE.md). The reference has no GPU available here and
+publishes no numbers of its own (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TORCH_CPU_BASELINE = 213.4  # traj-steps/sec, reference implementation, CPU
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "float64")
+    ntraj = int(os.environ.get("BENCH_NTRAJ", "8192"))
+    nt = int(os.environ.get("BENCH_NT", "100"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _as60_setup
+
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
+    en0 = 0.0
+    dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode (dt*w ~ 0.003)
+
+    # warmup + compile
+    t0 = time.time()
+    cauto, kic = prop.propagate(pot, dt, 2, energy0_es=en0,
+                                check_energy=False)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
+                                check_energy=False)
+    wall = time.time() - t0
+
+    assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+    nchips = 1  # single-chip benchmark
+    value = ntraj * nt / wall / nchips
+    result = {
+        "metric": "hk_as60_traj_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "traj-steps/s/chip",
+        "vs_baseline": round(value / TORCH_CPU_BASELINE, 2),
+        "config": {
+            "ntraj": ntraj, "nt": nt, "dim": 60, "dtype": dtype_name,
+            "device": str(jax.devices()[0]), "wall_s": round(wall, 3),
+            "compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

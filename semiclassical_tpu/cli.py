@@ -1,0 +1,562 @@
+# coding: utf-8
+"""`semi` — the command-line task runner.
+
+Same user contract as the reference CLI (reference cli.py:51-166): JSON input
+documents of the form {"semi": [task, ...]} and the subcommands
+
+    semi dynamics input.json     run semiclassical dynamics
+    semi rates input.json        Fourier-transform correlations into k_IC(E)
+    semi plot correlations.npz   plot correlation/rate curves
+    semi export correlations.npz export .dat tables
+    semi show correlations.npz   print summary
+
+with the same task keywords and the same `.npz` accumulation semantics.
+TPU-native differences: `--cuda` is replaced by mesh controls (all local
+devices are used by default, sharding the trajectory ensemble), the time
+loop runs as one jitted scan per repetition (not per step), and random keys
+derive from an explicit `jax.random` tree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os.path
+import sys
+
+import numpy as np
+
+logging.basicConfig(format="[%(module)-12s] %(message)s", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+class ConfigurationError(Exception):
+    pass
+
+
+def main(argv=None):
+    import semiclassical_tpu
+
+    parser = argparse.ArgumentParser(prog="semi")
+    parser.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {semiclassical_tpu.__version__} "
+                f"[Python {'.'.join(map(str, sys.version_info[:3]))}]",
+    )
+
+    subparsers = parser.add_subparsers(help="commands", dest="command")
+
+    parser_dynamics = subparsers.add_parser(
+        "dynamics", help="run semiclassical dynamics")
+    parser_dynamics.add_argument("json_input", type=str, metavar="input.json")
+    parser_dynamics.add_argument(
+        "--devices", type=int, default=0, metavar="n",
+        help="number of devices for the trajectory mesh "
+             "(default 0 = all available)")
+    parser_dynamics.add_argument(
+        "--f32", action="store_true",
+        help="propagate trajectories in float32 (prefactor determinants stay "
+             "complex64); faster on TPU, validate rates before production use")
+
+    parser_rates = subparsers.add_parser(
+        "rates",
+        help="compute Fermi's-Golden-Rule rates by Fourier transforming "
+             "correlation functions")
+    parser_rates.add_argument("json_input", type=str, metavar="input.json")
+
+    parser_plot = subparsers.add_parser(
+        "plot", help="plot correlation and rate functions from .npz files")
+    parser_plot.add_argument("correlation_files", type=str, nargs="+",
+                             metavar="correlations.npz")
+
+    parser_export = subparsers.add_parser(
+        "export",
+        help="export correlation functions and rates from .npz to .dat "
+             "tables (autocorrelation.dat, ic_correlation.dat, ic_rate.dat)")
+    parser_export.add_argument("correlation_file", type=str,
+                               metavar="correlations.npz")
+
+    parser_show = subparsers.add_parser(
+        "show", help="show information about a .npz results file")
+    parser_show.add_argument("correlation_file", type=str,
+                             metavar="correlations.npz")
+
+    args = parser.parse_args(argv)
+
+    try:
+        if args.command == "dynamics":
+            with open(args.json_input) as f:
+                config = json.load(f)
+            logger.info(f"run all 'dynamics' tasks in {args.json_input}")
+            for task in config["semi"]:
+                if task["task"] == "dynamics":
+                    run_semiclassical_dynamics(
+                        task, num_devices=args.devices,
+                        use_f32=getattr(args, "f32", False))
+        elif args.command == "rates":
+            assert args.json_input.endswith(".json"), (
+                "The argument for the command 'rates' should be the JSON "
+                f"control file, got '{args.json_input}' instead.")
+            with open(args.json_input) as f:
+                config = json.load(f)
+            logger.info(f"run all 'rates' tasks in {args.json_input}")
+            for task in config["semi"]:
+                if task["task"] == "rates":
+                    calculate_rates(task)
+        elif args.command == "plot":
+            _plot_correlation_functions(args.correlation_files)
+        elif args.command == "export":
+            _export_tables(args.correlation_file)
+        elif args.command == "show":
+            _show_information(args.correlation_file)
+        else:
+            parser.print_help()
+    except Exception:
+        logger.exception(
+            """
+        An error occurred, see traceback below
+
+        Suggestions:
+         * Check the JSON input file for mistakes.
+         * If there is insufficient memory, decrease 'batch_size'.
+         * If energy conservation is violated, check that the potential has
+           a stable minimum or reduce the step size.
+        """
+        )
+        return 1
+    return 0
+
+
+def _build_potential(task):
+    """Construct (potential, q0, p0, Gamma_0, en_zpt, adiabatic_gap,
+    atomic_numbers) from the task's `potential` section
+    (reference cli.py:177-304)."""
+    import jax.numpy as jnp
+
+    from semiclassical_tpu import potentials, units
+    from semiclassical_tpu.io import FormattedCheckpointFile
+
+    p = task["potential"]
+    atomic_numbers = None
+
+    if p["type"] == "harmonic":
+        with open(p["ground"]) as f:
+            freq_fchk = FormattedCheckpointFile(f)
+        with open(p["coupling"]) as f:
+            nacs_fchk = FormattedCheckpointFile(f)
+        potential = potentials.MolecularHarmonicPotential.from_fchk(
+            freq_fchk, nacs_fchk)
+        with open(p["excited"]) as f:
+            excited_fchk = FormattedCheckpointFile(f)
+        x0, Gamma_0, en_zpt = excited_fchk.vibrational_groundstate()
+        q0 = np.asarray(x0)
+        p0 = np.zeros_like(q0)
+        atomic_numbers = excited_fchk["Atomic numbers"]
+
+    elif p["type"] == "gdml":
+        model_pot = np.load(p["ground"], allow_pickle=True)
+        with open(p["coupling"]) as f:
+            nacs_fchk = FormattedCheckpointFile(f)
+        potential = potentials.MolecularGDMLPotential.create(
+            model_pot, nacs_fchk)
+        with open(p["excited"]) as f:
+            excited_fchk = FormattedCheckpointFile(f)
+        x0, Gamma_0, en_zpt = excited_fchk.vibrational_groundstate()
+        q0 = np.asarray(x0)
+        p0 = np.zeros_like(q0)
+        atomic_numbers = excited_fchk["Atomic numbers"]
+
+    elif p["type"] == "anharmonic AS":
+        data = np.loadtxt(p["model_file"])
+        if data.ndim == 1:
+            data = data.reshape(1, -1)
+        logger.info("vibrational modes (cm^-1):")
+        logger.info(f"{data[:, 0]}")
+        omega = data[:, 0] / units.hartree_to_wavenumbers
+        S = data[:, 1]
+        nac = data[:, 2]
+        chi = data[:, 3]
+        # horizontal shift dQ from the Huang-Rhys factor S = dQ^2 omega / 2
+        dQ = np.sqrt(2.0 * np.abs(S) / omega) * np.sign(S)
+        dQ[omega == 0.0] = 0.0
+        potential = potentials.MorsePotential.create(omega, chi, nac)
+        Gamma_0 = np.diag(omega)
+        q0 = dQ
+        p0 = 0.0 * q0
+        en_zpt = float(np.sum(0.5 * omega))
+        excited_fchk = None
+    else:
+        raise ConfigurationError(
+            f"Unknown potential type in {task['potential']}")
+
+    # find the minimum of the final PES; energies are measured from there
+    if hasattr(potential, "origin"):
+        logger.info("find minimum on final potential energy surface")
+        potential = potentials.minimize(potential, jnp.asarray(q0))
+
+    if p["type"] in ("harmonic", "gdml"):
+        adiabatic_gap = float(excited_fchk.total_energy()
+                              - potential.total_energy())
+        logger.info(
+            "  adiabatic excitation energy               : "
+            f"{adiabatic_gap * units.hartree_to_ev:.4f} eV")
+    else:
+        adiabatic_gap = np.nan
+
+    return potential, q0, p0, Gamma_0, en_zpt, adiabatic_gap, atomic_numbers
+
+
+def run_semiclassical_dynamics(task, num_devices=0, use_f32=False):
+    """Run one `dynamics` task (reference cli.py:171-476)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semiclassical_tpu import units
+    from semiclassical_tpu.io.extxyz import write_extxyz
+    from semiclassical_tpu.io.results import accumulate_results, init_results
+    from semiclassical_tpu.parallel import ensemble_mesh
+    from semiclassical_tpu.propagation import (
+        HermanKlukPropagator,
+        WaltonManolopoulosPropagator,
+    )
+
+    (potential, q0, p0, Gamma_0, en_zpt, adiabatic_gap,
+     atomic_numbers) = _build_potential(task)
+
+    Gamma_i = Gamma_0
+    Gamma_t = Gamma_0
+
+    dt = task["time_step_fs"] / units.autime_to_fs
+    nt = task["num_steps"]
+    t_max = nt * dt
+    times = np.linspace(0.0, t_max, nt)
+
+    logger.info(f"  time step                                 : "
+                f"{dt * units.autime_to_fs:.5f} fs")
+    logger.info(f"  number of time steps                      : {nt}")
+    logger.info(f"  propagation time                          : "
+                f"{t_max * units.autime_to_fs:.5f} fs")
+
+    batch_size = task.get("batch_size", 10000)
+    num_trajectories = task.get("num_trajectories", 50000)
+    num_repetitions = max(num_trajectories // batch_size, 1)
+    num_samples = min(batch_size, num_trajectories)
+
+    logger.info(f"  number of repetitions                     : "
+                f"{num_repetitions}")
+    logger.info(f"  number of trajectories per repetition     : "
+                f"{num_samples}")
+    logger.info(f"  total number of trajectories              : "
+                f"{num_samples * num_repetitions}")
+
+    propagator_name = task.get("propagator", "HK")
+    logger.info(f"  propagator                                : "
+                f"{propagator_name}")
+
+    devices = jax.devices()
+    if num_devices > 0:
+        devices = devices[:num_devices]
+    mesh = ensemble_mesh(devices) if len(devices) > 1 else None
+    if mesh is not None:
+        logger.info(f"  trajectory mesh                           : "
+                    f"{len(devices)} devices")
+
+    filename = task["results"].get("correlations", "correlations.npz")
+    overwrite = task["results"].get("overwrite", True)
+    if not overwrite and os.path.exists(filename):
+        assert task.get("manual_seed", None) is None, (
+            "Multiple runs with the same sequence of random numbers make no "
+            "sense! Do not use `manual_seed` and `overwrite=False` at the "
+            "same time")
+    init_results(filename, propagator_name, times, adiabatic_gap, en_zpt,
+                 overwrite=overwrite)
+
+    seed = task.get("manual_seed", None)
+    if seed is not None:
+        logger.warning("The random number generator should not be seeded "
+                       "manually unless for debugging!")
+        root_key = jax.random.key(seed)
+    else:
+        root_key = jax.random.key(
+            int(np.random.SeedSequence().entropy % (2**63)))
+    rep_keys = jax.random.split(root_key, num_repetitions)
+
+    dtype = jnp.float32 if use_f32 else jnp.float64
+
+    calc_norm_every = task.get("calc_norm_every", 0)
+
+    for repetition in range(num_repetitions):
+        logger.info(f"*** Repetition {repetition + 1} ***")
+        if propagator_name == "WM":
+            alpha = task.get("cell_width", 10000.0)
+            propagator = WaltonManolopoulosPropagator(
+                Gamma_i, Gamma_t, alpha, alpha, dtype=dtype)
+        else:
+            propagator = HermanKlukPropagator(Gamma_i, Gamma_t, dtype=dtype)
+
+        propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
+                                      key=rep_keys[repetition],
+                                      potential=potential, mesh=mesh)
+
+        _export_trajectories(task.get("export_initial", ""), atomic_numbers,
+                             propagator, append=(repetition > 0))
+
+        try:
+            if calc_norm_every > 0:
+                # segmented propagation with norm monitoring in between —
+                # the convergence diagnostic of reference cli.py:418-429
+                cauto = np.zeros(nt, dtype=complex)
+                kic = np.zeros(nt, dtype=complex)
+                done = 0
+                while done < nt:
+                    seg = min(calc_norm_every, nt - done)
+                    norm = propagator.norm()
+                    logger.info(
+                        f" time/fs= {times[done] * units.autime_to_fs:.4f}  "
+                        f"norm= {norm:9.6f}")
+                    c_seg, k_seg = propagator.propagate(
+                        potential, dt, seg, energy0_es=en_zpt)
+                    cauto[done:done + seg] = c_seg
+                    kic[done:done + seg] = k_seg
+                    done += seg
+            else:
+                cauto, kic = propagator.propagate(potential, dt, nt,
+                                                  energy0_es=en_zpt)
+
+            if np.isnan(cauto).any() or np.isnan(kic).any():
+                raise RuntimeError("encountered NaN's in correlations")
+        except RuntimeError:
+            # NaN watchdog: dump trajectories for debugging
+            # (reference cli.py:406-416)
+            if atomic_numbers is not None:
+                logger.info("NaN's/instability detected, saving trajectories "
+                            "to 'current_trajectories.xyz' for debugging ...")
+                _export_trajectories("current_trajectories.xyz",
+                                     atomic_numbers, propagator, append=False)
+            raise
+
+        _export_trajectories(task.get("export_final", ""), atomic_numbers,
+                             propagator, append=(repetition > 0))
+
+        total = accumulate_results(filename, cauto, kic, propagator.ntraj)
+        logger.info(f"  accumulated trajectories: {total}")
+
+
+def _export_trajectories(filename, atomic_numbers, propagator, append=False):
+    if filename == "" or atomic_numbers is None:
+        return
+    from semiclassical_tpu.io.extxyz import write_extxyz
+
+    q, p = propagator.current_positions_and_momenta()
+    q, p = np.asarray(q), np.asarray(p)
+    write_extxyz(filename, atomic_numbers, q, p, append=append)
+    logger.info(f"positions and momenta saved to '{filename}'")
+
+
+def calculate_rates(task):
+    """Run one `rates` task (reference cli.py:519-570)."""
+    from semiclassical_tpu import units
+    from semiclassical_tpu.analysis import (
+        gaussian,
+        lorentzian,
+        rate_from_correlation,
+        voigtian,
+    )
+
+    hwhmG = task.get("hwhmG_ev", 0.01)
+    hwhmL = task.get("hwhmL_ev", 1.0e-6)
+    sigma = hwhmG / np.sqrt(2.0 * np.log(2.0)) / units.hartree_to_ev
+    gamma = hwhmL / units.hartree_to_ev
+
+    broad = task.get("broadening", "gaussian")
+    if broad == "gaussian":
+        lineshape = gaussian(sigma)
+    elif broad == "lorentzian":
+        lineshape = lorentzian(gamma)
+    elif broad == "voigtian":
+        lineshape = voigtian(sigma, gamma)
+    else:
+        raise ValueError("'broadening' should be one of 'gaussian', "
+                         "'lorentzian' or 'voigtian'")
+
+    corr_file = task.get("correlations", "correlations.npz")
+    rate_file = task.get("rates", "correlations.npz")
+
+    logger.info(f"compute rates from correlation functions in '{corr_file}'")
+    data = dict(np.load(corr_file))
+    logger.info(f"trajectories : {data['trajectories']}")
+    logger.info(
+        f"time grid    : tmin= "
+        f"{data['times'].min() * units.autime_to_fs:.4f} tmax= "
+        f"{data['times'].max() * units.autime_to_fs:.4f} steps= "
+        f"{len(data['times'])}")
+
+    data["broadening"] = broad
+    data["hwhmG"] = hwhmG
+    data["hwhmL"] = hwhmL
+
+    energies, ic_rate = rate_from_correlation(
+        data["times"], data["ic_correlation"], lineshape)
+
+    # 2 pi factor for agreement with FCclasses3 (reference cli.py:560-564)
+    ic_rate = ic_rate * 2.0 * np.pi
+
+    data["energies"] = energies[energies >= 0.0]
+    data["ic_rate"] = ic_rate[energies >= 0.0].real
+
+    logger.info(f"rates are saved to '{rate_file}'")
+    np.savez(rate_file, **data)
+
+
+def _export_tables(filename):
+    """Export correlations/rates to .dat tables (reference cli.py:573-627)."""
+    from semiclassical_tpu import units
+
+    data = np.load(filename)
+    trajectories = int(data["trajectories"])
+    propagator = str(data["propagator"])
+
+    logger.info(f"exporting correlation functions from '{filename}' to "
+                "tables 'autocorrelation.dat' and 'ic_correlation.dat'")
+    with open("autocorrelation.dat", "w") as f:
+        f.write("# autocorrelation function\n")
+        f.write(f"# propagator: {propagator}   trajectories: "
+                f"{trajectories}\n")
+        f.write(f"# zero-point energy: "
+                f"{data['zero_point_energy'] * units.hartree_to_wavenumbers:.2f} cm-1\n")
+        f.write("#\n")
+        f.write("# Time/fs                  Re[C(t)]                  "
+                "Im[C(t)]\n")
+        np.savetxt(f, np.vstack((data["times"] * units.autime_to_fs,
+                                 data["autocorrelation"].real,
+                                 data["autocorrelation"].imag)).T)
+    with open("ic_correlation.dat", "w") as f:
+        f.write("# IC-correlation function\n")
+        f.write(f"# propagator: {propagator}   trajectories: "
+                f"{trajectories}\n")
+        f.write("#\n")
+        f.write("# Time/fs                  Re[kIC(t)]                "
+                "Im[kIC(t)]\n")
+        np.savetxt(f, np.vstack((data["times"] * units.autime_to_fs,
+                                 data["ic_correlation"].real,
+                                 data["ic_correlation"].imag)).T)
+    if "ic_rate" in data:
+        logger.info(f"exporting IC rates from '{filename}' to 'ic_rate.dat'")
+        with open("ic_rate.dat", "w") as f:
+            f.write("# internal conversion rate\n")
+            f.write(f"# propagator: {propagator}   trajectories: "
+                    f"{trajectories}\n")
+            f.write(f"# broadening: {data['broadening']}   HWHM_G: "
+                    f"{data['hwhmG']} eV   HWHM_L: {data['hwhmL']} eV\n")
+            f.write(f"# tmin: {data['times'].min() * units.autime_to_fs:.4f} "
+                    f"fs  tmax: {data['times'].max() * units.autime_to_fs:.4f}"
+                    f" fs  steps= {len(data['times'])}\n")
+            f.write("#\n")
+            f.write("# Energy/eV                kIC(E)/s^-1\n")
+            np.savetxt(f, np.vstack((data["energies"] * units.hartree_to_ev,
+                                     data["ic_rate"].real)).T)
+
+
+def _plot_correlation_functions(filenames):
+    """Plot correlations and rates (reference cli.py:630-706)."""
+    from semiclassical_tpu import units
+
+    import matplotlib
+    matplotlib.rc("xtick", labelsize=12)
+    matplotlib.rc("ytick", labelsize=12)
+    matplotlib.rc("legend", fontsize=12)
+    matplotlib.rc("axes", labelsize=12)
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(12.0, 6.0))
+    ax1 = plt.subplot(1, 3, 1)
+    ax1.set_xlabel("Time / fs")
+    ax1.set_ylabel(r"Autocorrelation "
+                   r"$e^{\frac{\imath}{\hbar} E_0^{(es)} t} "
+                   r"\langle \phi(0) | \phi(t) \rangle$")
+    ax2 = plt.subplot(1, 3, 2)
+    ax2.set_xlabel("Time / fs")
+    ax2.set_ylabel("IC correlation")
+    ax3 = plt.subplot(1, 3, 3)
+    ax3.set_xlabel("Energy / eV")
+    ax3.set_ylabel("IC rate (log) / s$^{-1}$")
+    ax3.set_yscale("log")
+    ax3.set_xlim((0.0, 10.0))
+
+    trajectories, propagators = [], []
+    linestyles = ["-", "--", "-.", ":"]
+
+    for ifile, filename in enumerate(filenames):
+        data = np.load(filename)
+        linestyle = linestyles[ifile % len(linestyles)]
+        trajectories.append(int(data["trajectories"]))
+        propagators.append(str(data["propagator"]))
+
+        lre, = ax1.plot(data["times"] * units.autime_to_fs,
+                        data["autocorrelation"].real, ls=linestyle)
+        lim, = ax1.plot(data["times"] * units.autime_to_fs,
+                        data["autocorrelation"].imag, ls=linestyle)
+        ax2.plot(data["times"] * units.autime_to_fs,
+                 data["ic_correlation"].real, ls=linestyle,
+                 color=lre.get_color(), label=f"Re[{filename}]")
+        ax2.plot(data["times"] * units.autime_to_fs,
+                 data["ic_correlation"].imag, ls=linestyle,
+                 color=lim.get_color(), label=f"Im[{filename}]")
+
+        if "ic_rate" in data:
+            lic, = ax3.plot(data["energies"] * units.hartree_to_ev,
+                            data["ic_rate"], ls=linestyle)
+            if not np.isnan(data["adiabatic_gap"]):
+                iclosest = np.argmin(
+                    abs(data["energies"] - data["adiabatic_gap"]))
+                kic = data["ic_rate"][iclosest]
+                ax3.axvline(x=data["adiabatic_gap"] * units.hartree_to_ev,
+                            ymax=kic, color=lic.get_color(), ls=linestyle,
+                            lw=0.5)
+                ax3.axhline(y=kic,
+                            xmax=data["adiabatic_gap"] * units.hartree_to_ev,
+                            color=lic.get_color(), ls=linestyle, lw=0.5)
+
+    plt.suptitle(f"trajectories: {trajectories}, propagators: {propagators}")
+    ax2.legend(bbox_to_anchor=(1.05, 1.0))
+    plt.tight_layout()
+    plt.show()
+
+
+def _show_information(filename):
+    """Print a summary of a results file (reference cli.py:708-742)."""
+    from semiclassical_tpu import units
+
+    data = np.load(filename)
+    print(f"""
+    filename                 : {filename}
+    propagator               : {data['propagator']}
+    trajectories             : {int(data['trajectories']):10}
+    time step (fs)           : {(data['times'][1] - data['times'][0]) * units.autime_to_fs:10.4f}
+    propagation time (fs)    : {max(data['times']) * units.autime_to_fs:10.4f}
+    zero-point energy (cm-1) : {float(data['zero_point_energy']) * units.hartree_to_wavenumbers:10.4f}
+    """)
+    if "ic_rate" in data:
+        if not np.isnan(data["adiabatic_gap"]):
+            iclosest = np.argmin(abs(data["energies"] - data["adiabatic_gap"]))
+            kic = data["ic_rate"][iclosest]
+        else:
+            kic = np.nan
+        print(f"""
+    adiabatic gap Ead (eV)   : {float(data['adiabatic_gap']) * units.hartree_to_ev:6.3f}
+    IC rate kic(Ead) (s-1)   : {kic:6.3e}
+        """)
+        imax = np.argmax(data["ic_rate"])
+        print(f"""
+    position of maximum (eV) : {data['energies'][imax] * units.hartree_to_ev:6.3f}
+    maximum of IC rate (s-1) : {data['ic_rate'][imax]:6.3e}
+        """)
+        print("IC rates are only reliable around the maximum of the curve.")
+    else:
+        print("  No rates found in file, you have to compute them first "
+              "with the command 'semi rates'.")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+# coding: utf-8
+"""The `.npz` correlation-results protocol.
+
+This file format is a compatibility contract with the reference
+implementation (reference cli.py:344-476): results produced by either code
+validate against the other, and the accumulate-on-restart semantics
+(`overwrite: false`) double as the coarse-grained fault-tolerance/recovery
+mechanism — a killed job loses at most one repetition batch.
+
+Schema (dynamics): propagator, times, autocorrelation, ic_correlation,
+adiabatic_gap, zero_point_energy, trajectories.
+Rates adds: broadening, hwhmG, hwhmL, energies (>= 0 slice), ic_rate.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["init_results", "accumulate_results", "load_results"]
+
+
+def init_results(filename, propagator_name, times, adiabatic_gap,
+                 zero_point_energy, overwrite=True):
+    """Create (or validate an existing) results file.
+
+    With overwrite=False and an existing file, the time grid and propagator
+    are asserted compatible so that new batches can be averaged in
+    (reference cli.py:344-364).
+    """
+    times = np.asarray(times)
+    if overwrite or not os.path.exists(filename):
+        np.savez(
+            filename,
+            propagator=propagator_name,
+            times=times,
+            autocorrelation=np.zeros(times.shape, dtype=complex),
+            ic_correlation=np.zeros(times.shape, dtype=complex),
+            adiabatic_gap=adiabatic_gap,
+            zero_point_energy=zero_point_energy,
+            trajectories=0,
+        )
+    else:
+        data = np.load(filename)
+        assert np.array_equal(data["times"], times), (
+            f"Time steps in {filename} differ. Delete the old file or "
+            "change the grid for time propagation."
+        )
+        assert str(data["propagator"]) == propagator_name, (
+            "Data produced with different propagators cannot be added."
+        )
+
+
+def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new):
+    """Merge one repetition into the running trajectory-weighted average
+
+        F(1:n+m) = (n F(1:n) + m F(n:n+m)) / (n + m)
+
+    and invalidate stale derived rates (reference cli.py:442-476).
+    Returns the updated total trajectory count.
+    """
+    data = dict(np.load(filename))
+    ntraj_old = int(data["trajectories"])
+    ntraj_tot = ntraj_old + ntraj_new
+    data["autocorrelation"] = (
+        ntraj_new * np.asarray(autocorrelation)
+        + ntraj_old * data["autocorrelation"]
+    ) / ntraj_tot
+    data["ic_correlation"] = (
+        ntraj_new * np.asarray(ic_correlation)
+        + ntraj_old * data["ic_correlation"]
+    ) / ntraj_tot
+
+    # C(0) = <phi(0)|phi(0)> must be 1: the initial conditions are sampled
+    # from the normalised density |<qi,pi|q0,p0>|^2 (reference cli.py:460-467)
+    logger.info(f"<phi(0)|phi(0)>= {data['autocorrelation'][0]}")
+    assert abs(data["autocorrelation"][0] - 1.0) < 1.0e-3
+
+    data["trajectories"] = ntraj_tot
+    # rates are no longer up to date
+    data.pop("ic_rate", None)
+    np.savez(filename, **data)
+    return ntraj_tot
+
+
+def load_results(filename):
+    return dict(np.load(filename))

@@ -207,18 +207,19 @@ def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
 
 
 def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
-                   c_signed, t, potential, en0):
-    """(C_auto(t), k~ic(t)) reduced over the trajectory batch
-    (reference propagators.py:809-911)."""
+                   c_signed, potential):
+    """(C_auto(t), k~ic(t)) reduced over the trajectory batch, *without* the
+    excited-state dynamical phase exp(i t E0/hbar) — that phase is separable
+    and applied on the host (reference propagators.py:809-911 applies it per
+    call with a per-observable E0)."""
     cauto_qp = hk_autocorr_qp(params, bc, state, c_signed)
-    dyn_phase = jnp.exp((1j / hbar) * t * en0)
-    cauto = jnp.sum(cauto_qp * bc.weight) * dyn_phase
+    cauto = jnp.sum(cauto_qp * bc.weight)
 
     PI = _shifted_momentum(params, state.p)
     nacQ = _nac_factor(params, potential, state.q, PI.astype(c_signed.dtype),
                        -1.0)
     kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
-    kic = jnp.sum(kic_qp * bc.weight) * dyn_phase
+    kic = jnp.sum(kic_qp * bc.weight)
     return cauto, kic
 
 
@@ -244,14 +245,18 @@ def pairwise_norm(overlap_params, q, p, v, block=4096):
         olap = overlap_matrix(overlap_params, qi, pi, qj, pj)
         return jnp.einsum("i,ij,j", jnp.conj(vi), olap, vj)
 
-    norm2 = 0.0 + 0.0j
+    # O_ij is Hermitian (identical bra/ket width matrices), so the (j, i)
+    # block contributes the conjugate of the (i, j) block: compute the
+    # diagonal plus the upper triangle and double the real part.
+    norm2 = 0.0
     for ib in range(nblocks):
         sl_i = slice(ib * block, min((ib + 1) * block, n))
-        for jb in range(nblocks):
+        for jb in range(ib, nblocks):
             sl_j = slice(jb * block, min((jb + 1) * block, n))
-            norm2 += complex(block_term(q[sl_i], p[sl_i], v[sl_i],
-                                        q[sl_j], p[sl_j], v[sl_j]))
-    return float(np.sqrt(norm2.real))
+            term = complex(block_term(q[sl_i], p[sl_i], v[sl_i],
+                                      q[sl_j], p[sl_j], v[sl_j]))
+            norm2 += term.real if jb == ib else 2.0 * term.real
+    return float(np.sqrt(norm2))
 
 
 def check_energy_conservation(energies, change_tol=1.0e-2):
@@ -277,13 +282,13 @@ def check_energy_conservation(energies, change_tol=1.0e-2):
 # scan driver
 # ---------------------------------------------------------------------------
 
-def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt, en0):
+def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt):
     def body(carry, _):
         state, tracker, t = carry
         c2 = hk_prefactor_det(params, state)
         tracker = tracker.update(c2)
         c = jnp.sqrt(c2) * tracker.signs
-        cauto, kic = hk_observables(params, bc, state, c, t, potential, en0)
+        cauto, kic = hk_observables(params, bc, state, c, potential)
         new_state, en = rk4_step(state, potential, dt)
         return (new_state, tracker, t + dt), (cauto, kic, en)
 
@@ -329,13 +334,12 @@ class HermanKlukPropagator:
         c2 = hk_prefactor_det(self.params, state)
         return {"prefactorC": SignTracker.fresh(c2)}
 
-    def _scan(self, potential, dt, nt, en0):
+    def _scan(self, potential, dt, nt):
         return _hk_scan_jit(
             self.params, self._bc, potential, self.state,
             self.trackers["prefactorC"],
             jnp.asarray(self.t, dtype=self.dtype),
             jnp.asarray(dt, dtype=self.dtype), nt,
-            jnp.asarray(en0, dtype=self.dtype),
         )
 
     def _store_scan_carry(self, carry):
@@ -347,16 +351,20 @@ class HermanKlukPropagator:
     # -- setup ---------------------------------------------------------------
 
     def initial_conditions(self, q0, p0, Gamma_0, ntraj=5000, key=None,
-                           potential=None):
+                           potential=None, mesh=None):
         """Sample initial phase-space points and initialise the state.
 
         Parameters
         ----------
         q0, p0 : (d,) center and momentum of the initial wavepacket
         Gamma_0 : (d, d) width matrix of the initial wavepacket
-        ntraj : number of trajectories
+        ntraj : number of trajectories (rounded up to a multiple of the mesh
+            size when a mesh is given)
         key : jax PRNG key (or int seed); fresh entropy each call if omitted
         potential : optional; if given, the k~ic batch constants are built now
+        mesh : optional jax.sharding.Mesh with a `traj` axis; the ensemble is
+            sharded over it and the parameter packs replicated, making the
+            scan SPMD across chips with psum'd observable reductions
         """
         if key is None:
             key = int(np.random.SeedSequence().entropy % (2**63))
@@ -373,8 +381,17 @@ class HermanKlukPropagator:
         self.params = self._make_params(
             Gamma_0, q0, p0, np.asarray(sampling.U), np.asarray(sampling.iGi0)
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from semiclassical_tpu.parallel import replicate
+            from semiclassical_tpu.parallel.mesh import pad_to_multiple
+            ntraj = pad_to_multiple(ntraj, mesh.devices.size)
+            self.params = replicate(self.params, mesh)
 
         qi, pi, prob = sample_initial_conditions(sampling, key, ntraj)
+        if mesh is not None:
+            from semiclassical_tpu.parallel import shard_ensemble
+            qi, pi, prob = shard_ensemble((qi, pi, prob), mesh)
         logger.info("== Initial Conditions ==")
         logger.info(f"number of dimensions   :  {self.params.dim}")
         logger.info(f"zero dimensions        :  "
@@ -408,18 +425,20 @@ class HermanKlukPropagator:
         state advances by nt steps.
         """
         self._require_nacq(potential)
-        carry, (cauto, kic, energies) = self._scan(
-            potential, dt, nt, energy0_es)
+        t_start = self.t
+        carry, (cauto, kic, energies) = self._scan(potential, dt, nt)
         self._store_scan_carry(carry)
         if check_energy:
             check_energy_conservation(energies)
-        return np.asarray(cauto), np.asarray(kic)
+        ts = t_start + float(dt) * np.arange(nt)
+        phase = np.exp(1j / hbar * energy0_es * ts)
+        return np.asarray(cauto) * phase, np.asarray(kic) * phase
 
     # -- granular (reference-shaped) API --------------------------------------
 
     def step(self, potential, dt):
         """Advance one time step t -> t + dt (updates all sign trackers)."""
-        carry, _ = self._scan(potential, dt, 1, 0.0)
+        carry, _ = self._scan(potential, dt, 1)
         self._store_scan_carry(carry)
 
     def semiclassical_prefactor(self):
@@ -443,8 +462,8 @@ class HermanKlukPropagator:
         self._require_nacq(potential)
         c = self.semiclassical_prefactor()
         _, kic = hk_observables(self.params, self._bc, self.state, c,
-                                jnp.asarray(self.t), potential, energy0_es)
-        return complex(kic)
+                                potential)
+        return complex(kic) * np.exp(1j / hbar * self.t * energy0_es)
 
     def coefficients(self):
         return hk_coefficients(self.params, self._bc, self.state,

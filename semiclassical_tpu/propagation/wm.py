@@ -314,16 +314,15 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
 
 
 def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
-                   derived: WMDerived, c_signed, signs_A, signs_M, t,
-                   potential, en0):
+                   derived: WMDerived, c_signed, signs_A, signs_M,
+                   potential):
     """(C_auto(t), k~ic(t)) reduced over the batch (eqns. 85, 89-100,
     reference propagators.py:1616-1719)."""
     cdtype = c_signed.dtype
     cauto_qp = wm_autocorr_qp(params, bc, state, derived, c_signed,
                               signs_A, signs_M)
     weight = bc.base.weight
-    dyn_phase = jnp.exp((1j / hbar) * t * en0)
-    cauto = jnp.sum(cauto_qp * weight) * dyn_phase
+    cauto = jnp.sum(cauto_qp * weight)
 
     n1Q, n2Q = _nac_terms(potential, state.q)
     n1q = bc.n1q.astype(cdtype)
@@ -345,7 +344,7 @@ def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
             + (1j / hbar) * jnp.einsum("ni,ni->n", derived.Pq, n1q))
 
     kic_qp = (1.0 / hbar**2) * (nacqQ + nacQ * nacq) * cauto_qp
-    kic = jnp.sum(kic_qp * weight) * dyn_phase
+    kic = jnp.sum(kic_qp * weight)
     return cauto, kic
 
 
@@ -384,7 +383,7 @@ def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
 
 
 def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
-            derived: WMDerived, v, block=1024):
+            derived: WMDerived, v, block=4096):
     """|psi| of the WM wavefunction — O(n^2) with per-pair r x r inverses
     (reference propagators.py:1484-1575). Opt-in diagnostic."""
     hk = params.hk
@@ -433,7 +432,7 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
 # scan driver
 # ---------------------------------------------------------------------------
 
-def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt, en0):
+def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt):
     def body(carry, _):
         state, (tr_c, tr_A, tr_M), t = carry
         c2 = hk_prefactor_det(params.hk, state)
@@ -443,7 +442,7 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt, en0):
         tr_A = tr_A.update(derived.detA)
         tr_M = tr_M.update(derived.detM)
         cauto, kic = wm_observables(params, bc, state, derived, c,
-                                    tr_A.signs, tr_M.signs, t, potential, en0)
+                                    tr_A.signs, tr_M.signs, potential)
         new_state, en = rk4_step(state, potential, dt)
         return (new_state, (tr_c, tr_A, tr_M), t + dt), (cauto, kic, en)
 
@@ -503,14 +502,13 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             "detM": SignTracker.fresh(derived.detM),
         }
 
-    def _scan(self, potential, dt, nt, en0):
+    def _scan(self, potential, dt, nt):
         trackers0 = (self.trackers["prefactorC"], self.trackers["detA"],
                      self.trackers["detM"])
         return _wm_scan_jit(
             self.params, self._bc, potential, self.state, trackers0,
             jnp.asarray(self.t, dtype=self.dtype),
             jnp.asarray(dt, dtype=self.dtype), nt,
-            jnp.asarray(en0, dtype=self.dtype),
         )
 
     def _store_scan_carry(self, carry):
@@ -548,9 +546,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         derived = self._sync_derived()
         _, kic = wm_observables(self.params, self._bc, self.state, derived, c,
                                 self.trackers["detA"].signs,
-                                self.trackers["detM"].signs,
-                                jnp.asarray(self.t), potential, energy0_es)
-        return complex(kic)
+                                self.trackers["detM"].signs, potential)
+        return complex(kic) * np.exp(1j / hbar * self.t * energy0_es)
 
     def coefficients(self):
         c = self.semiclassical_prefactor()

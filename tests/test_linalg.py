@@ -1,0 +1,76 @@
+# coding: utf-8
+"""Unit tests for linear-algebra helpers (oracle: scipy, numpy)."""
+
+import numpy as np
+import scipy.linalg as sla
+
+import jax.numpy as jnp
+
+from semiclassical_tpu import linalg
+
+
+def test_sym_sqrtm_vs_scipy():
+    rng = np.random.default_rng(0)
+    n = 5
+    A = 5.0 * 2.0 * (rng.random((n, n)) - 0.5)
+    A = A + A.T
+    sqA, isqA = linalg.sym_sqrtm(A)
+    sqA_scipy = sla.sqrtm(A)
+    isqA_scipy = sla.inv(sla.sqrtm(A))
+    assert np.allclose(sqA, sqA_scipy)
+    assert np.allclose(isqA, isqA_scipy)
+
+
+def test_sym_sqrtm_singular():
+    """Pseudo-inverse of the root ignores the null space."""
+    rng = np.random.default_rng(1)
+    V, _ = np.linalg.qr(rng.random((4, 4)))
+    e = np.array([2.0, 1.0, 0.5, 0.0])
+    A = V @ np.diag(e) @ V.T
+    sqA, isqA = linalg.sym_sqrtm(A)
+    # sqA isqA should be the projector on the non-zero subspace
+    proj = V[:, :3] @ V[:, :3].T
+    assert np.allclose(sqA @ isqA, proj, atol=1e-10)
+
+
+def test_is_symmetric_non_negative():
+    rng = np.random.default_rng(2)
+    n = 5
+    e = rng.random(n) + 0.1
+    V = 5.0 * 2.0 * (rng.random((n, n)) - 0.5)
+    A = V @ np.diag(e) @ V.T
+    assert linalg.is_symmetric_non_negative(A)
+    A[0, 1] += 0.5
+    assert not linalg.is_symmetric_non_negative(A)
+
+
+def test_pseudo_det_and_inverse():
+    rng = np.random.default_rng(3)
+    V, _ = np.linalg.qr(rng.random((5, 5)))
+    e = np.array([3.0, 2.0, 1.0, 0.5, 0.0])
+    A = V @ np.diag(e) @ V.T
+    assert np.isclose(linalg.pseudo_det(A), 3.0 * 2.0 * 1.0 * 0.5)
+    assert np.isclose(linalg.pseudo_det(A, scale=2.0), 3.0 * 2.0 * 1.0 * 0.5 / 16.0)
+    iA = linalg.pseudo_inverse(A)
+    proj = V[:, :4] @ V[:, :4].T
+    assert np.allclose(A @ iA, proj, atol=1e-10)
+
+
+def test_nonzero_subspace():
+    rng = np.random.default_rng(4)
+    V, _ = np.linalg.qr(rng.random((5, 5)))
+    e = np.array([3.0, 2.0, 1.0, 0.0, 0.0])
+    A = V @ np.diag(e) @ V.T
+    U = linalg.nonzero_subspace(A)
+    assert U.shape == (5, 3)
+    # U spans the range of A
+    assert np.allclose(U @ U.T @ A, A, atol=1e-10)
+
+
+def test_batched_det_inv_complex():
+    rng = np.random.default_rng(5)
+    A = (rng.standard_normal((32, 6, 6))
+         + 1j * rng.standard_normal((32, 6, 6)) + 3 * np.eye(6))
+    Aj = jnp.asarray(A)
+    assert np.allclose(np.asarray(linalg.batched_det(Aj)), np.linalg.det(A))
+    assert np.allclose(np.asarray(linalg.batched_inv(Aj)), np.linalg.inv(A))
