@@ -1,0 +1,142 @@
+# coding: utf-8
+"""Mid-batch checkpoint/resume of propagator state.
+
+The reference's only persistence unit is a *completed* repetition merged
+into the npz accumulator (reference cli.py:453-476) — a killed job loses at
+most one batch. For 100k-trajectory batches propagated for thousands of
+steps that batch can be expensive, so this module adds the finer-grained
+checkpoint the SURVEY calls for (§5 checkpoint/resume): a snapshot of the
+full scan carry — trajectory state, branch-cut sign trackers, current time,
+and the partial C(t)/k~ic(t) accumulated so far — taken between scan
+segments.
+
+Format: a single `.npz` per checkpoint holding the flattened pytree leaves
+plus a JSON treedef descriptor. Self-contained and inspectable; no
+dependency on orbax's directory layout (orbax remains usable on top for
+multi-host settings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+
+__all__ = ["save_propagator_state", "load_propagator_state",
+           "CheckpointedRun"]
+
+
+def _flatten_with_paths(tree):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in leaves_with_paths:
+        key = "/".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_propagator_state(filename, propagator, partial=None):
+    """Snapshot a propagator's scan carry to `filename` (.npz).
+
+    Parameters
+    ----------
+    propagator : HermanKlukPropagator / WaltonManolopoulosPropagator
+    partial : optional dict of partial observable arrays accumulated so far,
+        e.g. {"cauto": ..., "kic": ..., "steps_done": n}
+    """
+    payload = {}
+    for prefix, tree in (("state", propagator.state),
+                         ("trackers", propagator.trackers),
+                         ("bc", propagator._bc)):
+        for key, arr in _flatten_with_paths(tree).items():
+            payload[f"{prefix}{key}"] = arr
+    payload["meta/t"] = np.asarray(propagator.t)
+    payload["meta/ntraj"] = np.asarray(propagator.ntraj)
+    if partial:
+        for k, v in partial.items():
+            payload[f"partial/{k}"] = np.asarray(v)
+    # np.savez appends .npz to names without the extension — keep it explicit
+    tmp = filename + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, filename)  # atomic on POSIX
+
+
+def load_propagator_state(filename, propagator):
+    """Restore a snapshot into an initialised propagator (shapes must match
+    — call initial_conditions with the same ntraj/model first; the sampled
+    values are overwritten by the checkpointed ones).
+
+    Returns the `partial` dict stored at save time (possibly empty).
+    """
+    data = np.load(filename)
+
+    def restore(prefix, tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        new_leaves = []
+        for path, leaf in flat:
+            key = prefix + "/".join(str(p) for p in path)
+            arr = data[key]
+            assert arr.shape == leaf.shape, (
+                f"checkpoint shape mismatch for {key}: "
+                f"{arr.shape} vs {leaf.shape}")
+            new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(tree), new_leaves)
+
+    propagator.state = restore("state", propagator.state)
+    propagator.trackers = restore("trackers", propagator.trackers)
+    propagator._bc = restore("bc", propagator._bc)
+    propagator._bc_has_nacq = True
+    propagator.t = float(data["meta/t"])
+    partial = {}
+    for key in data.files:
+        if key.startswith("partial/"):
+            partial[key[len("partial/"):]] = data[key]
+    return partial
+
+
+class CheckpointedRun:
+    """Propagate in segments with periodic checkpoints and transparent resume.
+
+    Example
+    -------
+    >>> run = CheckpointedRun("ckpt.npz", propagator, potential,
+    ...                       dt=dt, nt=2000, energy0_es=en0,
+    ...                       segment=200)
+    >>> cauto, kic = run.run()   # resumes from ckpt.npz if present
+    """
+
+    def __init__(self, filename, propagator, potential, dt, nt,
+                 energy0_es=0.0, segment=500):
+        self.filename = filename
+        self.propagator = propagator
+        self.potential = potential
+        self.dt = dt
+        self.nt = nt
+        self.en0 = energy0_es
+        self.segment = segment
+
+    def run(self):
+        nt = self.nt
+        cauto = np.zeros(nt, dtype=complex)
+        kic = np.zeros(nt, dtype=complex)
+        done = 0
+        if os.path.exists(self.filename):
+            partial = load_propagator_state(self.filename, self.propagator)
+            if partial:
+                done = int(partial["steps_done"])
+                cauto[:done] = partial["cauto"][:done]
+                kic[:done] = partial["kic"][:done]
+        while done < nt:
+            seg = min(self.segment, nt - done)
+            c_seg, k_seg = self.propagator.propagate(
+                self.potential, self.dt, seg, energy0_es=self.en0)
+            cauto[done:done + seg] = c_seg
+            kic[done:done + seg] = k_seg
+            done += seg
+            save_propagator_state(
+                self.filename, self.propagator,
+                partial={"cauto": cauto, "kic": kic, "steps_done": done})
+        return cauto, kic

@@ -89,6 +89,9 @@ def main(argv=None):
             with open(args.json_input) as f:
                 config = json.load(f)
             logger.info(f"run all 'dynamics' tasks in {args.json_input}")
+            from semiclassical_tpu.config import validate_task
+            for task in config["semi"]:
+                validate_task(task)
             for task in config["semi"]:
                 if task["task"] == "dynamics":
                     run_semiclassical_dynamics(
@@ -101,6 +104,9 @@ def main(argv=None):
             with open(args.json_input) as f:
                 config = json.load(f)
             logger.info(f"run all 'rates' tasks in {args.json_input}")
+            from semiclassical_tpu.config import validate_task
+            for task in config["semi"]:
+                validate_task(task)
             for task in config["semi"]:
                 if task["task"] == "rates":
                     calculate_rates(task)

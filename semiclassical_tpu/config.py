@@ -1,0 +1,123 @@
+# coding: utf-8
+"""Typed validation of the JSON task schema.
+
+The input document format is the compatibility contract
+{"semi": [task, ...]} with the keywords documented in the reference README
+(reference README.rst:140-302); the reference resolves them with bare
+`task.get(key, default)` and silently ignores unknown keys
+(SURVEY §5 config). Here every task is validated against a typed schema
+before running: wrong types fail fast with a clear message and unknown keys
+produce a warning naming the closest valid keyword.
+"""
+
+from __future__ import annotations
+
+import difflib
+import logging
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["validate_task", "ConfigurationError"]
+
+
+class ConfigurationError(Exception):
+    pass
+
+
+_POTENTIAL_KEYS = {
+    "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
+    "gdml": {"type": str, "ground": str, "excited": str, "coupling": str},
+    "anharmonic AS": {"type": str, "model_file": str},
+}
+
+_DYNAMICS_SCHEMA = {
+    "task": str,
+    "potential": dict,
+    "propagator": str,            # "HK" | "WM"
+    "batch_size": int,
+    "num_trajectories": int,
+    "num_steps": int,
+    "time_step_fs": (int, float),
+    "cell_width": (int, float),   # WM alpha = beta
+    "results": dict,
+    "manual_seed": int,
+    "calc_norm_every": int,
+    "export_initial": str,
+    "export_final": str,
+}
+
+_RATES_SCHEMA = {
+    "task": str,
+    "broadening": str,            # gaussian | lorentzian | voigtian
+    "hwhmG_ev": (int, float),
+    "hwhmL_ev": (int, float),
+    "correlations": str,
+    "rates": str,
+}
+
+_RESULTS_SCHEMA = {
+    "correlations": str,
+    "overwrite": bool,
+}
+
+_REQUIRED = {
+    "dynamics": ("potential", "num_steps", "time_step_fs", "results"),
+    "rates": (),
+}
+
+
+def _check_keys(section, data, schema):
+    for key, value in data.items():
+        if key not in schema:
+            close = difflib.get_close_matches(key, schema.keys(), n=1)
+            hint = f" — did you mean '{close[0]}'?" if close else ""
+            logger.warning(
+                f"unknown keyword '{key}' in {section} section{hint}")
+            continue
+        expected = schema[key]
+        if not isinstance(value, expected):
+            raise ConfigurationError(
+                f"{section}: keyword '{key}' should be of type "
+                f"{expected}, got {type(value).__name__} ({value!r})")
+
+
+def validate_task(task):
+    """Validate one task dict; raises ConfigurationError on hard errors."""
+    kind = task.get("task")
+    if kind not in ("dynamics", "rates"):
+        raise ConfigurationError(
+            f"task type should be 'dynamics' or 'rates', got {kind!r}")
+
+    schema = _DYNAMICS_SCHEMA if kind == "dynamics" else _RATES_SCHEMA
+    _check_keys(f"'{kind}' task", task, schema)
+
+    for key in _REQUIRED[kind]:
+        if key not in task:
+            raise ConfigurationError(
+                f"'{kind}' task is missing the required keyword '{key}'")
+
+    if kind == "dynamics":
+        pot = task["potential"]
+        ptype = pot.get("type")
+        if ptype not in _POTENTIAL_KEYS:
+            raise ConfigurationError(
+                f"potential type should be one of {list(_POTENTIAL_KEYS)}, "
+                f"got {ptype!r}")
+        _check_keys(f"potential ({ptype})", pot, _POTENTIAL_KEYS[ptype])
+        for key in _POTENTIAL_KEYS[ptype]:
+            if key not in pot:
+                raise ConfigurationError(
+                    f"potential ({ptype}) is missing the required keyword "
+                    f"'{key}'")
+        _check_keys("results", task["results"], _RESULTS_SCHEMA)
+        if task.get("propagator", "HK") not in ("HK", "WM"):
+            raise ConfigurationError(
+                f"propagator should be 'HK' or 'WM', "
+                f"got {task['propagator']!r}")
+    else:
+        if task.get("broadening", "gaussian") not in (
+                "gaussian", "lorentzian", "voigtian"):
+            raise ConfigurationError(
+                "'broadening' should be one of 'gaussian', 'lorentzian' or "
+                f"'voigtian', got {task['broadening']!r}")
+    return task

@@ -1,0 +1,61 @@
+# coding: utf-8
+"""Task-schema validation tests."""
+
+import pytest
+
+from semiclassical_tpu.config import ConfigurationError, validate_task
+
+
+def _dyn_task(**over):
+    task = {
+        "task": "dynamics",
+        "potential": {"type": "anharmonic AS", "model_file": "model.dat"},
+        "num_steps": 100,
+        "time_step_fs": 0.005,
+        "results": {"correlations": "c.npz"},
+    }
+    task.update(over)
+    return task
+
+
+def test_valid_dynamics():
+    validate_task(_dyn_task())
+
+
+def test_valid_rates():
+    validate_task({"task": "rates", "broadening": "gaussian"})
+
+
+def test_unknown_task_type():
+    with pytest.raises(ConfigurationError):
+        validate_task({"task": "dance"})
+
+
+def test_missing_required():
+    with pytest.raises(ConfigurationError):
+        validate_task(_dyn_task(num_steps=None) | {"num_steps": 100,
+                                                   "potential": {"type": "harmonic"}})
+
+
+def test_wrong_type():
+    with pytest.raises(ConfigurationError):
+        validate_task(_dyn_task(num_steps="many"))
+
+
+def test_bad_propagator():
+    with pytest.raises(ConfigurationError):
+        validate_task(_dyn_task(propagator="XYZ"))
+
+
+def test_bad_broadening():
+    with pytest.raises(ConfigurationError):
+        validate_task({"task": "rates", "broadening": "boxcar"})
+
+
+def test_unknown_key_warns(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        validate_task(_dyn_task(num_trajectoriess=100))
+    assert "num_trajectoriess" in caplog.text
+    assert "num_trajectories" in caplog.text  # close-match hint
