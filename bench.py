@@ -31,7 +31,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "float64")
+    # complex128 is not supported on TPU backends (the prefactor
+    # determinants are complex) -> default to float32/complex64 on TPU,
+    # float64 elsewhere; override with BENCH_DTYPE.
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype_name = os.environ.get("BENCH_DTYPE",
+                                "float32" if on_tpu else "float64")
     ntraj = int(os.environ.get("BENCH_NTRAJ", "8192"))
     nt = int(os.environ.get("BENCH_NT", "100"))
 

@@ -101,6 +101,18 @@ def pseudo_det(A: np.ndarray, scale: float = 1.0) -> float:
     return float(np.prod(e[nz] / scale))
 
 
+def pseudo_logdet(A: np.ndarray, scale: float = 1.0) -> float:
+    """log of the pseudo-determinant of a PSD matrix (eigenvalues / scale).
+
+    For d ~ 60+ modes the pseudo-determinants of the width matrices
+    under/overflow even float64 (prod of ~1e-3 eigenvalues); WM's scalar
+    prefactors are therefore combined in log space on the host.
+    """
+    e, _ = sym_eigh(A)
+    nz = e > ZERO
+    return float(np.sum(np.log(e[nz] / scale)))
+
+
 def nonzero_subspace(A: np.ndarray, positive_only: bool = True) -> np.ndarray:
     """Orthonormal basis U (d, r) of the non-zero eigenspace of symmetric A.
 
@@ -117,16 +129,118 @@ def nonzero_subspace(A: np.ndarray, positive_only: bool = True) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # device-side batched small-matrix ops (jax)
 # ---------------------------------------------------------------------------
+#
+# Two interchangeable implementations:
+#
+# * "xla"  — jnp.linalg.det/inv (LAPACK on CPU, XLA's LU custom call on TPU)
+# * "jax"  — hand-written batched LU with partial pivoting expressed in
+#   plain vectorised jnp ops (a fori_loop over columns with masked row
+#   selection). This compiles to simple HLO everywhere — on TPU it avoids
+#   the enormous complex128 LU custom-call lowering — and keeps the whole
+#   batch axis vectorised (one argmax / one outer-product update per column
+#   for all n matrices at once).
+#
+# Select via set_linalg_impl("jax"|"xla") or SEMI_LINALG_IMPL env var.
+
+import os as _os
+
+_LINALG_IMPL = _os.environ.get("SEMI_LINALG_IMPL", "xla")
+
+
+def set_linalg_impl(name: str):
+    """Choose the batched det/inv backend: "xla" or "jax"."""
+    global _LINALG_IMPL
+    assert name in ("xla", "jax"), name
+    _LINALG_IMPL = name
+
+
+def _lu_factor_batched(A: jax.Array):
+    """Batched LU with partial pivoting, vectorised over the leading axis.
+
+    Returns (LU, parity) where LU holds L (unit diagonal, below) and U
+    (on/above the diagonal) and parity is the +-1 permutation sign per
+    matrix. Doolittle right-looking updates; the pivot search and row swap
+    are masked vector ops, so the only sequential dimension is the matrix
+    size r.
+    """
+    n, r, _ = A.shape
+    dtype = A.dtype
+
+    def body(k, carry):
+        LU, parity = carry
+        col = LU[:, :, k]
+        mag = jnp.abs(col)
+        row_ids = jnp.arange(r)[None, :]
+        mag = jnp.where(row_ids >= k, mag, -jnp.inf)
+        piv = jnp.argmax(mag, axis=1)                       # (n,)
+
+        # swap rows k <-> piv
+        batch = jnp.arange(n)
+        row_k = LU[batch, k, :]
+        row_p = LU[batch, piv, :]
+        LU = LU.at[batch, k, :].set(row_p)
+        LU = LU.at[batch, piv, :].set(row_k)
+        parity = parity * jnp.where(piv == k, 1.0, -1.0)
+
+        pivval = LU[:, k, k]                                # (n,)
+        below = jnp.arange(r)[None, :] > k                  # (1, r)
+        factors = jnp.where(below, LU[:, :, k] / pivval[:, None], 0.0)
+        LU = LU.at[:, :, k].set(jnp.where(below, factors, LU[:, :, k]))
+        right = jnp.arange(r)[None, :] > k
+        update = factors[:, :, None] * jnp.where(right, LU[:, k, :],
+                                                 0.0)[:, None, :]
+        LU = LU - update
+        return LU, parity
+
+    parity0 = jnp.ones((n,), dtype=A.real.dtype)
+    LU, parity = jax.lax.fori_loop(0, r, body, (A, parity0))
+    return LU, parity
+
+
+def _det_jax(A: jax.Array) -> jax.Array:
+    LU, parity = _lu_factor_batched(A)
+    diag = jnp.diagonal(LU, axis1=1, axis2=2)
+    return jnp.prod(diag, axis=1) * parity.astype(A.dtype)
+
+
+def _inv_jax(A: jax.Array) -> jax.Array:
+    # Gauss-Jordan on [A | I], vectorised over the batch, partial pivoting.
+    n, r, _ = A.shape
+    aug = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(r, dtype=A.dtype), (n, r, r))], axis=2)
+
+    def body(k, aug):
+        col = jnp.abs(aug[:, :, k])
+        row_ids = jnp.arange(r)[None, :]
+        col = jnp.where(row_ids >= k, col, -jnp.inf)
+        piv = jnp.argmax(col, axis=1)
+        batch = jnp.arange(n)
+        row_k = aug[batch, k, :]
+        row_p = aug[batch, piv, :]
+        aug = aug.at[batch, k, :].set(row_p)
+        aug = aug.at[batch, piv, :].set(row_k)
+
+        pivval = aug[:, k, k]
+        row = aug[:, k, :] / pivval[:, None]
+        aug = aug.at[:, k, :].set(row)
+        factors = aug[:, :, k]
+        mask = (jnp.arange(r)[None, :] != k)
+        update = jnp.where(mask, factors, 0.0)[:, :, None] * row[:, None, :]
+        return aug - update
+
+    aug = jax.lax.fori_loop(0, r, body, aug)
+    return aug[:, :, r:]
+
 
 def batched_det(A: jax.Array) -> jax.Array:
-    """Determinant of a batch of small (complex) matrices, shape (n, r, r).
-
-    Uses XLA's LU-based determinant. Kept behind this wrapper so the
-    implementation can be swapped (e.g. a Pallas LU) without touching callers.
-    """
+    """Determinant of a batch of small (complex) matrices, shape (n, r, r)."""
+    if _LINALG_IMPL == "jax":
+        return _det_jax(A)
     return jnp.linalg.det(A)
 
 
 def batched_inv(A: jax.Array) -> jax.Array:
     """Inverse of a batch of small (complex) matrices, shape (n, r, r)."""
+    if _LINALG_IMPL == "jax":
+        return _inv_jax(A)
     return jnp.linalg.inv(A)

@@ -93,12 +93,21 @@ class HKParams:
 
 @pytree_dataclass
 class BatchConstants:
-    """Per-batch constants: initial conditions and precomputed observables."""
+    """Per-batch constants: initial conditions and precomputed observables.
+
+    The Monte-Carlo weights 1/(n P(qi,pi) (2 pi hbar)^d) span hundreds of
+    orders of magnitude across the batch in many dimensions, so they are
+    stored *normalised* (geometric mean factored out) together with the
+    f64 scalar `weight_scale`; observable sums computed with the normalised
+    weights are multiplied by the scale on the host. This keeps the scan
+    float32/complex64-safe on TPUs without complex128 support.
+    """
 
     qi: jnp.ndarray       # (n, d)  initial positions
     pi: jnp.ndarray       # (n, d)  initial momenta
-    prob: jnp.ndarray     # (n,)    sampling densities P(qi, pi)
-    weight: jnp.ndarray   # (n,)    1 / (n P(qi,pi) (2 pi hbar)^d)
+    prob: jnp.ndarray     # (n,) f64  sampling densities P(qi, pi)
+    weight: jnp.ndarray   # (n,)    normalised MC weights
+    weight_scale: jnp.ndarray  # () f64  scale so that true weight = weight * scale
     vi: jnp.ndarray       # (n,) complex  <qi,pi,Gi|phi(0)>
     nacq: jnp.ndarray     # (n,) complex  initial-point NAC factor of k~ic
 
@@ -180,7 +189,11 @@ def hk_batch_constants(params: HKParams, qi, pi, prob,
     in; otherwise it is zero and can be added later via `with_nacq`.
     """
     n = qi.shape[0]
-    weight = 1.0 / (n * prob * (2.0 * np.pi * hbar) ** params.dim)
+    logw = -(np.log(n) + jnp.log(prob.astype(jnp.float64))
+             + params.dim * np.log(2.0 * np.pi * hbar))
+    log_scale = jnp.mean(logw)
+    weight = jnp.exp(logw - log_scale).astype(qi.dtype)
+    weight_scale = jnp.exp(log_scale)
     vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
     if potential is None:
         nacq = jnp.zeros(n, dtype=vi.dtype)
@@ -188,7 +201,7 @@ def hk_batch_constants(params: HKParams, qi, pi, prob,
         pvec = _shifted_momentum(params, pi)
         nacq = _nac_factor(params, potential, qi, pvec.astype(vi.dtype), +1.0)
     return BatchConstants(qi=qi, pi=pi, prob=prob, weight=weight,
-                          vi=vi, nacq=nacq)
+                          weight_scale=weight_scale, vi=vi, nacq=nacq)
 
 
 def with_nacq(params: HKParams, bc: BatchConstants, potential) -> BatchConstants:
@@ -432,7 +445,9 @@ class HermanKlukPropagator:
             check_energy_conservation(energies)
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
-        return np.asarray(cauto) * phase, np.asarray(kic) * phase
+        scale = float(self._bc.weight_scale)
+        return (np.asarray(cauto) * scale * phase,
+                np.asarray(kic) * scale * phase)
 
     # -- granular (reference-shaped) API --------------------------------------
 
@@ -456,18 +471,21 @@ class HermanKlukPropagator:
         c = self.semiclassical_prefactor()
         cauto_qp = hk_autocorr_qp(self.params, self._bc, self.state, c)
         cauto = jnp.sum(cauto_qp * self._bc.weight)
-        return complex(cauto) * np.exp(1j / hbar * self.t * energy0_es)
+        return (complex(cauto) * float(self._bc.weight_scale)
+                * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
         self._require_nacq(potential)
         c = self.semiclassical_prefactor()
         _, kic = hk_observables(self.params, self._bc, self.state, c,
                                 potential)
-        return complex(kic) * np.exp(1j / hbar * self.t * energy0_es)
+        return (complex(kic) * float(self._bc.weight_scale)
+                * np.exp(1j / hbar * self.t * energy0_es))
 
     def coefficients(self):
-        return hk_coefficients(self.params, self._bc, self.state,
-                               self.semiclassical_prefactor())
+        v = hk_coefficients(self.params, self._bc, self.state,
+                            self.semiclassical_prefactor())
+        return v * self._bc.weight_scale.astype(v.dtype)
 
     def norm(self):
         """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic)."""

@@ -68,10 +68,10 @@ class WMParams:
     hk: HKParams
     alpha: jnp.ndarray       # ()
     beta: jnp.ndarray        # ()
-    detG0: jnp.ndarray       # ()  pseudo-det of Gamma_0 / pi^r
-    detGi: jnp.ndarray       # ()
-    detGt: jnp.ndarray       # ()
-    detGi0: jnp.ndarray      # ()  pseudo-det of (Gi+G0) / (2 pi)^r
+    auto_pref: jnp.ndarray   # ()  detG0^{1/2} detGt^{1/4} detGi^{1/4}
+                             #     / detGi0^{1/2}, combined in log space
+    coef_pref: jnp.ndarray   # ()  detG0^{1/4} detGt^{1/4} detGi^{1/4}
+                             #     / detGi0^{1/2}
     Gt: jnp.ndarray          # (d, d)  Gamma_t
     A_const: jnp.ndarray     # (2r, 2r) complex: 2 F' + [[U^T Gi U, 0],[0,0]]
                              #                   - 2i/hbar [[0,0],[I_r,0]]
@@ -93,6 +93,10 @@ class WMBatchConstants:
     PIq: jnp.ndarray     # (n, d) eqn. 72 with pi_i = p (time-independent)
     n1q: jnp.ndarray     # (n, d) -hbar^2 tau1(q)/m
     n2q: jnp.ndarray     # (n,)   -hbar^2/2 sum_k tau2_k(q)/m_k
+
+    @property
+    def weight_scale(self):
+        return self.base.weight_scale
 
 
 @pytree_dataclass
@@ -135,19 +139,22 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
         [Gamma_i @ U, (-1j / hbar) * U.astype(np.complex128)], axis=1
     )
 
+    # combine the pseudo-determinant prefactors in log space — the
+    # individual determinants under/overflow for many modes
+    # (pi / 2 pi absorption as in reference propagators.py:1107-1125)
+    ld0 = linalg.pseudo_logdet(Gamma_0, scale=np.pi)
+    ldi = linalg.pseudo_logdet(Gamma_i, scale=np.pi)
+    ldt = linalg.pseudo_logdet(Gamma_t, scale=np.pi)
+    ldi0 = linalg.pseudo_logdet(Gamma_0 + Gamma_i, scale=2 * np.pi)
+    auto_pref = np.exp(0.5 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
+    coef_pref = np.exp(0.25 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
+
     return WMParams(
         hk=hk,
         alpha=jnp.asarray(alpha, dtype=dtype),
         beta=jnp.asarray(beta, dtype=dtype),
-        detG0=jnp.asarray(linalg.pseudo_det(Gamma_0, scale=np.pi),
-                          dtype=dtype),
-        detGi=jnp.asarray(linalg.pseudo_det(Gamma_i, scale=np.pi),
-                          dtype=dtype),
-        detGt=jnp.asarray(linalg.pseudo_det(Gamma_t, scale=np.pi),
-                          dtype=dtype),
-        detGi0=jnp.asarray(
-            linalg.pseudo_det(Gamma_0 + Gamma_i, scale=2 * np.pi),
-            dtype=dtype),
+        auto_pref=jnp.asarray(auto_pref, dtype=dtype),
+        coef_pref=jnp.asarray(coef_pref, dtype=dtype),
         Gt=jnp.asarray(Gamma_t, dtype=dtype),
         A_const=jnp.asarray(A_const, dtype=cdtype),
         BqU=jnp.asarray(BqU, dtype=cdtype),
@@ -297,8 +304,7 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
     dq = q0 - bc.base.qi.astype(cdtype)          # q0 - q(0)
     dQ = q0 - state.q.astype(cdtype)             # q0 - q(t)
 
-    pref = (params.detG0**0.5 * params.detGt**0.25 * params.detGi**0.25
-            / jnp.sqrt(params.detGi0)).astype(cdtype)
+    pref = params.auto_pref.astype(cdtype)
     phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
     pref = (pref * c_signed * phase
             * signs_A / jnp.sqrt(derived.detA)
@@ -358,8 +364,7 @@ def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
     q0 = params.hk.q0[None, :].astype(cdtype)
     dq = q0 - bc.base.qi.astype(cdtype)
     phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
-    v = ((params.detG0**0.25 * params.detGt**0.25 * params.detGi**0.25
-          / jnp.sqrt(params.detGi0)).astype(cdtype)
+    v = (params.coef_pref.astype(cdtype)
          * c_signed * phase
          * signs_A / jnp.sqrt(derived.detA)
          * jnp.exp(bc.eps.astype(cdtype)))
@@ -538,7 +543,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                                   c, self.trackers["detA"].signs,
                                   self.trackers["detM"].signs)
         cauto = jnp.sum(cauto_qp * self._bc.base.weight)
-        return complex(cauto) * np.exp(1j / hbar * self.t * energy0_es)
+        return (complex(cauto) * float(self._bc.base.weight_scale)
+                * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
         self._require_nacq(potential)
@@ -547,25 +553,25 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         _, kic = wm_observables(self.params, self._bc, self.state, derived, c,
                                 self.trackers["detA"].signs,
                                 self.trackers["detM"].signs, potential)
-        return complex(kic) * np.exp(1j / hbar * self.t * energy0_es)
+        return (complex(kic) * float(self._bc.base.weight_scale)
+                * np.exp(1j / hbar * self.t * energy0_es))
 
-    def coefficients(self):
-        c = self.semiclassical_prefactor()
-        derived = self._sync_derived()
-        return wm_coefficients(self.params, self._bc, self.state, derived, c,
-                               self.trackers["detA"].signs)
-
-    def wavefunction(self, x):
+    def _coefficients_and_derived(self):
+        """Sign-synced, weight-scale-restored coefficients + derived tensors."""
         c = self.semiclassical_prefactor()
         derived = self._sync_derived()
         v = wm_coefficients(self.params, self._bc, self.state, derived, c,
                             self.trackers["detA"].signs)
+        return v * self._bc.base.weight_scale.astype(v.dtype), derived
+
+    def coefficients(self):
+        return self._coefficients_and_derived()[0]
+
+    def wavefunction(self, x):
+        v, derived = self._coefficients_and_derived()
         return np.asarray(wm_wavefunction(self.params, self._bc, self.state,
                                           derived, v, jnp.asarray(x)))
 
     def norm(self):
-        c = self.semiclassical_prefactor()
-        derived = self._sync_derived()
-        v = wm_coefficients(self.params, self._bc, self.state, derived, c,
-                            self.trackers["detA"].signs)
+        v, derived = self._coefficients_and_derived()
         return wm_norm(self.params, self._bc, self.state, derived, v)

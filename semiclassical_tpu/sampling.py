@@ -117,6 +117,10 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
                           dtype=params.iLz.dtype)
     z = params.z0[None, :] + x @ params.iLz                 # (n, 2 d)
     q, p = z[:, :d], z[:, d:]
-    prob = (params.detLz / (2.0 * np.pi) ** d
-            * jnp.exp(-0.5 * jnp.sum(x * x, axis=1)))
+    # the density spans hundreds of orders of magnitude for many modes —
+    # always evaluate it in float64 (it only ever enters log-space weight
+    # computations and diagnostics)
+    x64 = x.astype(jnp.float64)
+    prob = (params.detLz.astype(jnp.float64) / (2.0 * np.pi) ** d
+            * jnp.exp(-0.5 * jnp.sum(x64 * x64, axis=1)))
     return q, p, prob

@@ -19,7 +19,7 @@ from semiclassical_tpu.propagation import (
     WaltonManolopoulosPropagator,
 )
 
-NTRAJ = 50000
+NTRAJ = 20000
 
 
 def _load_as_model(ref_data, anharmonicity):

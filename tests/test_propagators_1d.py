@@ -23,7 +23,7 @@ from qm_oracle import (
     split_operator_correlations,
 )
 
-NTRAJ = 50000
+NTRAJ = 20000
 
 
 @pytest.fixture(scope="module")
