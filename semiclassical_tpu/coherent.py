@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from semiclassical_tpu import linalg
+from semiclassical_tpu.linalg import times_i
 from semiclassical_tpu.pytree import pytree_dataclass
 from semiclassical_tpu.units import hbar
 
@@ -91,12 +92,12 @@ def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
     dq = qj - qi, dp = pj - pi, pj = ket momenta.
     (reference propagators.py:232-237)
     """
-    return (
-        -0.5 * jnp.einsum("...a,ab,...b->...", dq, ov.Gi_iGij_Gj, dq)
-        - (0.5 / hbar**2) * jnp.einsum("...a,ab,...b->...", dp, ov.iGij, dp)
-        - (1j / hbar) * jnp.einsum("...a,...a->...", pj, dq)
-        + (1j / hbar) * jnp.einsum("...a,ab,...b->...", dq, ov.Gj_iGij, dp)
-    )
+    re_part = (-0.5 * jnp.einsum("...a,ab,...b->...", dq, ov.Gi_iGij_Gj, dq)
+               - (0.5 / hbar**2) * jnp.einsum("...a,ab,...b->...", dp,
+                                              ov.iGij, dp))
+    im_part = (jnp.einsum("...a,ab,...b->...", dq, ov.Gj_iGij, dp)
+               - jnp.einsum("...a,...a->...", pj, dq)) / hbar
+    return re_part + times_i(im_part)
 
 
 def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
@@ -149,6 +150,6 @@ def wavefunction(wf: WavefunctionParams, q, p, v, x):
     """
     dx = x[None, :, :] - q[:, None, :]                       # (n, nx, d)
     expo = (-0.5 * jnp.einsum("nxa,ab,nxb->nx", dx, wf.G, dx)
-            + (1j / hbar) * jnp.einsum("na,nxa->nx", p, dx))
+            + times_i(jnp.einsum("na,nxa->nx", p, dx) / hbar))
     gaussians = wf.fac * jnp.exp(expo)                       # (n, nx)
     return jnp.einsum("n,nx->x", v, gaussians)

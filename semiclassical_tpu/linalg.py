@@ -29,6 +29,8 @@ ZERO = 1.0e-8
 
 __all__ = [
     "ZERO",
+    "times_i",
+    "real_dtype",
     "sym_eigh",
     "sym_sqrtm",
     "is_symmetric_non_negative",
@@ -38,6 +40,26 @@ __all__ = [
     "batched_det",
     "batched_inv",
 ]
+
+
+
+
+def real_dtype(cdtype):
+    """float dtype matching a complex dtype."""
+    return jnp.float32 if jnp.dtype(cdtype) == jnp.complex64 else jnp.float64
+
+
+def times_i(x):
+    """1j * x without materialising a complex128 constant.
+
+    With x64 enabled, the Python literal ``1j`` is a weakly-typed complex128
+    scalar; some TPU toolchains reject any complex128 constant even when the
+    result dtype is complex64. ``lax.complex`` keeps everything in the
+    operand's precision (f32 -> c64, f64 -> c128).
+    """
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(-x.imag, x.real)
+    return jax.lax.complex(jnp.zeros_like(x), x)
 
 
 # ---------------------------------------------------------------------------

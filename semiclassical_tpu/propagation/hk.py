@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
+from semiclassical_tpu.linalg import real_dtype, times_i
 from semiclassical_tpu.coherent import (
     OverlapParams,
     WavefunctionParams,
@@ -152,8 +153,8 @@ def hk_prefactor_det(params: HKParams, state: TrajState):
 
     # group by shared left factor: two (n, d, r) inner products then two
     # (r, d) x (n, d, r) contractions
-    inner_s = Mqq @ params.Ri_i - (1j * hbar) * (Mqp @ params.Ri_s)
-    inner_i = Mpp @ params.Ri_s + (1j / hbar) * (Mpq @ params.Ri_i)
+    inner_s = Mqq @ params.Ri_i - hbar * times_i(Mqp @ params.Ri_s)
+    inner_i = Mpp @ params.Ri_s + times_i(Mpq @ params.Ri_i) / hbar
     mat = 0.5 * (jnp.einsum("ai,nib->nab", params.Lt_s, inner_s)
                  + jnp.einsum("ai,nib->nab", params.Lt_i, inner_i))
     return linalg.batched_det(mat)
@@ -173,7 +174,8 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
     n2 = -(hbar**2) * 0.5 * jnp.sum(tau2 * inv_m[None, :], axis=1)  # (n,)
     dq = params.q0[None, :] - x
     core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R, n1)
-    return core + sign * (1j / hbar) * jnp.einsum("na,na->n", pvec, n1)
+    return core + (sign / hbar) * times_i(
+        jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
 
 
 def _shifted_momentum(params: HKParams, p):
@@ -215,7 +217,7 @@ def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
     """Per-trajectory contribution to the autocorrelation function
     (reference propagators.py:784-807)."""
     vt = overlap_vector(params.csot0, state.q, state.p, params.q0, params.p0)
-    phase = jnp.exp((1j / hbar) * state.S.astype(c_signed.dtype))
+    phase = jnp.exp(times_i(state.S.astype(real_dtype(c_signed.dtype)) / hbar))
     return jnp.conj(vt) * bc.vi * c_signed * phase
 
 
@@ -240,7 +242,7 @@ def hk_coefficients(params: HKParams, bc: BatchConstants, state: TrajState,
                     c_signed):
     """Expansion coefficients v_i of the HK wavefunction in the coherent-state
     basis (reference propagators.py:657-686)."""
-    phase = jnp.exp((1j / hbar) * state.S.astype(c_signed.dtype))
+    phase = jnp.exp(times_i(state.S.astype(real_dtype(c_signed.dtype)) / hbar))
     return c_signed * phase * bc.vi * bc.weight
 
 

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
+from semiclassical_tpu.linalg import real_dtype, times_i
 from semiclassical_tpu.coherent import overlap_matrix  # noqa: F401 (norm)
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.hk import (
@@ -194,16 +195,16 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     Sqp = jnp.einsum("nia,nib->nab", MpqU, MqpU)
     Spq = jnp.einsum("nia,nib->nab", MqpU, MpqU)
     Spp = jnp.einsum("nia,nib->nab", MqpU, MppU)
-    hessL = (1j / hbar) * jnp.concatenate([
+    hessL = times_i(jnp.concatenate([
         jnp.concatenate([Sqq, Sqp], axis=2),
-        jnp.concatenate([Spq, Spp], axis=2)], axis=1)      # (n, 2r, 2r)
+        jnp.concatenate([Spq, Spp], axis=2)], axis=1) / hbar)  # (n, 2r, 2r)
 
     # A' (eqn. 50 projected)
     GtMqzU = jnp.einsum("ij,njb->nib", params.Gt, MqzU)    # (n, d, 2r)
     A = (params.A_const[None]
          - hessL
          + jnp.einsum("nia,nib->nab", MqzU, GtMqzU).astype(cdtype)
-         + (2j / hbar) * jnp.einsum("nia,nib->nab", MpzU, MqzU))
+         + times_i(jnp.einsum("nia,nib->nab", MpzU, MqzU) * (2.0 / hbar)))
 
     iA = linalg.batched_inv(A)                              # (n, 2r, 2r)
     # det(A / 2 sqrt(alpha beta)) — the limit of det(A) is
@@ -212,7 +213,7 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     detA = linalg.batched_det(A / (2.0 * jnp.sqrt(params.alpha * params.beta)))
 
     # BQ U2 = Gt Mqz U2 + i/hbar Mpz U2 (eqn. 53 projected)
-    BQU = GtMqzU.astype(cdtype) + (1j / hbar) * MpzU        # (n, d, 2r)
+    BQU = GtMqzU.astype(cdtype) + times_i(MpzU / hbar)      # (n, d, 2r)
 
     # eqn. 57: Gt(t) = Gt - BQ iA BQ^T
     iA_BQ = jnp.einsum("nab,njb->naj", iA, BQU)             # (n, 2r, d)
@@ -305,7 +306,7 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
     dQ = q0 - state.q.astype(cdtype)             # q0 - q(t)
 
     pref = params.auto_pref.astype(cdtype)
-    phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
+    phase = jnp.exp(times_i(state.S.astype(real_dtype(cdtype)) / hbar))
     pref = (pref * c_signed * phase
             * signs_A / jnp.sqrt(derived.detA)
             * signs_M / jnp.sqrt(derived.detM))
@@ -314,8 +315,8 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
             - 0.5 * jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, dq)
             - 0.5 * jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, dQ)
             + jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, dQ)
-            - (1j / hbar) * jnp.einsum("ni,ni->n", derived.Pq, dq)
-            + (1j / hbar) * jnp.einsum("ni,ni->n", derived.PQ, dQ))
+            + times_i((jnp.einsum("ni,ni->n", derived.PQ, dQ)
+                       - jnp.einsum("ni,ni->n", derived.Pq, dq)) / hbar))
     return pref * jnp.exp(expo)
 
 
@@ -341,13 +342,13 @@ def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
     nacQ = (n2Q.astype(cdtype)
             + jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, n1Q)
             - jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, n1Q)
-            - (1j / hbar) * jnp.einsum("ni,ni->n", derived.PQ, n1Q))
+            - times_i(jnp.einsum("ni,ni->n", derived.PQ, n1Q) / hbar))
     # the cross term pairs (q0 - Q) with the *second* index of RqQ:
     # sum_ij n1q_j RqQ[j, i] (q0 - Q)_i   (reference propagators.py:1709)
     nacq = (bc.n2q.astype(cdtype)
             + jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, n1q)
             - jnp.einsum("nj,nji,ni->n", n1q, derived.RqQ, dQ)
-            + (1j / hbar) * jnp.einsum("ni,ni->n", derived.Pq, n1q))
+            + times_i(jnp.einsum("ni,ni->n", derived.Pq, n1q) / hbar))
 
     kic_qp = (1.0 / hbar**2) * (nacqQ + nacQ * nacq) * cauto_qp
     kic = jnp.sum(kic_qp * weight)
@@ -363,14 +364,14 @@ def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
     cdtype = c_signed.dtype
     q0 = params.hk.q0[None, :].astype(cdtype)
     dq = q0 - bc.base.qi.astype(cdtype)
-    phase = jnp.exp((1j / hbar) * state.S.astype(cdtype))
+    phase = jnp.exp(times_i(state.S.astype(real_dtype(cdtype)) / hbar))
     v = (params.coef_pref.astype(cdtype)
          * c_signed * phase
          * signs_A / jnp.sqrt(derived.detA)
          * jnp.exp(bc.eps.astype(cdtype)))
     v = v * jnp.exp(
         -0.5 * jnp.einsum("ni,ij,nj->n", dq, params.Cqq.astype(cdtype), dq)
-        - (1j / hbar) * jnp.einsum("ni,ni->n", bc.PIq.astype(cdtype), dq))
+        - times_i(jnp.einsum("ni,ni->n", bc.PIq.astype(cdtype), dq) / hbar))
     return v * bc.base.weight
 
 
@@ -383,7 +384,7 @@ def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
     dq = (params.hk.q0[None, :] - bc.base.qi).astype(cdtype)
     expo = (-0.5 * jnp.einsum("nxi,nij,nxj->nx", dxQ, derived.CQQ, dxQ)
             + jnp.einsum("ni,nij,nxj->nx", dq, derived.CqQ, dxQ)
-            + (1j / hbar) * jnp.einsum("ni,nxi->nx", derived.PIQ, dxQ))
+            + times_i(jnp.einsum("ni,nxi->nx", derived.PIQ, dxQ) / hbar))
     return jnp.einsum("n,nx->x", v, jnp.exp(expo))
 
 
@@ -397,7 +398,7 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
     q0 = hk.q0[None, :].astype(cdtype)
     dvec = (jnp.einsum("nji,nj->ni", derived.CqQ,
                        q0 - bc.base.qi.astype(cdtype))
-            + (1j / hbar) * derived.PIQ)                     # (n, d)
+            + times_i(derived.PIQ / hbar))                   # (n, d)
     Q = state.q.astype(cdtype)
     CQQ = derived.CQQ
 
