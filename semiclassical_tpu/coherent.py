@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import times_i
+from semiclassical_tpu.linalg import times_i, to_device
 from semiclassical_tpu.pytree import pytree_dataclass
 from semiclassical_tpu.units import hbar
 
@@ -81,7 +81,7 @@ class OverlapParams:
             Gi_iGij_Gj=jnp.asarray(Gi @ iGij @ Gj, dtype=dtype),
             iGij=jnp.asarray(iGij, dtype=dtype),
             Gj_iGij=jnp.asarray(Gj @ iGij, dtype=dtype),
-            fac=jnp.asarray(fac, dtype=cdtype),
+            fac=to_device(fac, cdtype),
             rank=ranki,
         )
 
@@ -92,6 +92,8 @@ def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
     dq = qj - qi, dp = pj - pi, pj = ket momenta.
     (reference propagators.py:232-237)
     """
+    t = ov.Gi_iGij_Gj.dtype
+    dq, dp, pj = dq.astype(t), dp.astype(t), pj.astype(t)
     re_part = (-0.5 * jnp.einsum("...a,ab,...b->...", dq, ov.Gi_iGij_Gj, dq)
                - (0.5 / hbar**2) * jnp.einsum("...a,ab,...b->...", dp,
                                               ov.iGij, dp))

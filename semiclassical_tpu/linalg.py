@@ -31,6 +31,8 @@ __all__ = [
     "ZERO",
     "times_i",
     "real_dtype",
+    "to_device",
+    "phase_exp",
     "sym_eigh",
     "sym_sqrtm",
     "is_symmetric_non_negative",
@@ -47,6 +49,36 @@ __all__ = [
 def real_dtype(cdtype):
     """float dtype matching a complex dtype."""
     return jnp.float32 if jnp.dtype(cdtype) == jnp.complex64 else jnp.float64
+
+
+def to_device(x, dtype):
+    """np -> jnp conversion that works for complex on TPU backends.
+
+    The axon TPU backend implements neither complex128 programs nor
+    host->device transfer of complex arrays (of any width) — but complex
+    values *computed on device* are fine. So complex inputs are shipped as
+    two real arrays and combined with lax.complex on device; real inputs
+    take the plain path with the cast done host-side.
+    """
+    dtype = jnp.dtype(dtype)
+    x = np.asarray(x)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rtype = np.float32 if dtype == jnp.complex64 else np.float64
+        return jax.lax.complex(jnp.asarray(x.real.astype(rtype)),
+                               jnp.asarray(x.imag.astype(rtype)))
+    return jnp.asarray(x.astype(dtype.type))
+
+
+def phase_exp(s, cdtype):
+    """exp(i s) at the precision of `cdtype`, with the angle reduced mod 2 pi
+    *before* any down-cast — for long propagations the action S grows to
+    ~1e4 and a bare f64 -> f32 cast would cost ~1e-3 rad of phase."""
+    rd = real_dtype(cdtype)
+    if s.dtype != rd:
+        two_pi = 2.0 * np.pi
+        s = s - two_pi * jnp.round(s / two_pi)
+        s = s.astype(rd)
+    return jnp.exp(times_i(s))
 
 
 def times_i(x):

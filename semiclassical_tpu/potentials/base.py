@@ -22,8 +22,9 @@ class DiagHessian:
     diag: jnp.ndarray
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
-        """H @ M for monodromy blocks M of shape (n, d, d)."""
-        return self.diag[:, :, None] * M
+        """H @ M for monodromy blocks M of shape (n, d, d) (result keeps
+        M's dtype — the monodromy precision is a deliberate choice)."""
+        return self.diag.astype(M.dtype)[:, :, None] * M
 
     def dense(self) -> jnp.ndarray:
         n, d = self.diag.shape
@@ -37,7 +38,7 @@ class DenseHessian:
     mat: jnp.ndarray
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("nag,ngb->nab", self.mat, M)
+        return jnp.einsum("nag,ngb->nab", self.mat.astype(M.dtype), M)
 
     def dense(self) -> jnp.ndarray:
         return self.mat
@@ -55,7 +56,7 @@ class ConstHessian:
     mat: jnp.ndarray
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("ag,ngb->nab", self.mat, M)
+        return jnp.einsum("ag,ngb->nab", self.mat.astype(M.dtype), M)
 
     def dense(self) -> jnp.ndarray:
         return self.mat[None]

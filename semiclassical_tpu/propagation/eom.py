@@ -44,11 +44,12 @@ def state_derivative(state: TrajState, potential):
 
     tkin = 0.5 * jnp.sum(state.p**2 * inv_m[None, :], axis=1)
 
+    inv_m_mono = inv_m.astype(state.Mqq.dtype)
     dstate = TrajState(
         q=state.p * inv_m[None, :],
-        p=-grad,
-        Mqq=state.Mpq * inv_m[None, :, None],
-        Mqp=state.Mpp * inv_m[None, :, None],
+        p=-grad.astype(state.p.dtype),
+        Mqq=state.Mpq * inv_m_mono[None, :, None],
+        Mqp=state.Mpp * inv_m_mono[None, :, None],
         Mpq=-hess.matmul(state.Mqq),
         Mpp=-hess.matmul(state.Mqp),
         S=tkin - vpot,
@@ -64,7 +65,10 @@ def rk4_step(state: TrajState, potential, dt):
     evaluated at the k1 stage (the exact state at time t), which is the
     quantity whose step-to-step drift the conservation guard monitors.
     """
-    axpy = lambda y, a, k: jax.tree.map(lambda yi, ki: yi + a * ki, y, k)
+    # the step size may be a traced f64 scalar while monodromy leaves are
+    # f32 (mixed mode) — cast per leaf so dtypes are preserved in the carry
+    axpy = lambda y, a, k: jax.tree.map(
+        lambda yi, ki: yi + jnp.asarray(a).astype(yi.dtype) * ki, y, k)
 
     k1, en = state_derivative(state, potential)
     k2, _ = state_derivative(axpy(state, 0.5 * dt, k1), potential)
@@ -72,7 +76,8 @@ def rk4_step(state: TrajState, potential, dt):
     k4, _ = state_derivative(axpy(state, dt, k3), potential)
 
     new_state = jax.tree.map(
-        lambda y, a, b, c, d: y + (dt / 6.0) * (a + 2 * b + 2 * c + d),
+        lambda y, a, b, c, d: y + jnp.asarray(dt / 6.0).astype(y.dtype)
+        * (a + 2 * b + 2 * c + d),
         state, k1, k2, k3, k4,
     )
     return new_state, en

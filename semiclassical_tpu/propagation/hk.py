@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import real_dtype, times_i
+from semiclassical_tpu.linalg import phase_exp, real_dtype, times_i, to_device
 from semiclassical_tpu.coherent import (
     OverlapParams,
     WavefunctionParams,
@@ -120,10 +120,10 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype):
     Uc = U.astype(np.complex128)
     R = Gamma_0 @ iGi0 @ Gamma_i
     return HKParams(
-        Lt_s=jnp.asarray(Uc.T @ sqGt, dtype=cdtype),
-        Lt_i=jnp.asarray(Uc.T @ isqGt, dtype=cdtype),
-        Ri_s=jnp.asarray(sqGi @ Uc, dtype=cdtype),
-        Ri_i=jnp.asarray(isqGi @ Uc, dtype=cdtype),
+        Lt_s=to_device(Uc.T @ sqGt, cdtype),
+        Lt_i=to_device(Uc.T @ isqGt, cdtype),
+        Ri_s=to_device(sqGi @ Uc, cdtype),
+        Ri_i=to_device(isqGi @ Uc, cdtype),
         q0=jnp.asarray(q0, dtype=dtype),
         p0=jnp.asarray(p0, dtype=dtype),
         G0=jnp.asarray(Gamma_0, dtype=dtype),
@@ -167,12 +167,14 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
     with n1 = -hbar^2 tau1/m, n2 = -hbar^2/2 sum_k tau2_k/m_k.
     sign = +1 at the initial point (q), -1 at the current point (Q).
     """
+    t = params.R.dtype
     inv_m = 1.0 / potential.masses()
     tau1 = potential.derivative_coupling_1st(x)
     tau2 = potential.derivative_coupling_2nd(x)
-    n1 = -(hbar**2) * tau1 * inv_m[None, :]                 # (n, d)
-    n2 = -(hbar**2) * 0.5 * jnp.sum(tau2 * inv_m[None, :], axis=1)  # (n,)
-    dq = params.q0[None, :] - x
+    n1 = (-(hbar**2) * tau1 * inv_m[None, :]).astype(t)     # (n, d)
+    n2 = (-(hbar**2) * 0.5
+          * jnp.sum(tau2 * inv_m[None, :], axis=1)).astype(t)  # (n,)
+    dq = (params.q0[None, :] - x.astype(params.q0.dtype))
     core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R, n1)
     return core + (sign / hbar) * times_i(
         jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
@@ -180,6 +182,7 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
 
 def _shifted_momentum(params: HKParams, p):
     """p0 + Gamma_0 [Gi+G0]^{-1} (p - p0)  (reference propagators.py:894-895)."""
+    p = p.astype(params.p0.dtype)
     return params.p0[None, :] + (p - params.p0[None, :]) @ (params.G0 @ params.iGi0).T
 
 
@@ -194,7 +197,7 @@ def hk_batch_constants(params: HKParams, qi, pi, prob,
     logw = -(np.log(n) + jnp.log(prob.astype(jnp.float64))
              + params.dim * np.log(2.0 * np.pi * hbar))
     log_scale = jnp.mean(logw)
-    weight = jnp.exp(logw - log_scale).astype(qi.dtype)
+    weight = jnp.exp(logw - log_scale).astype(real_dtype(params.Lt_s.dtype))
     weight_scale = jnp.exp(log_scale)
     vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
     if potential is None:
@@ -217,7 +220,7 @@ def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
     """Per-trajectory contribution to the autocorrelation function
     (reference propagators.py:784-807)."""
     vt = overlap_vector(params.csot0, state.q, state.p, params.q0, params.p0)
-    phase = jnp.exp(times_i(state.S.astype(real_dtype(c_signed.dtype)) / hbar))
+    phase = phase_exp(state.S / hbar, c_signed.dtype)
     return jnp.conj(vt) * bc.vi * c_signed * phase
 
 
@@ -242,7 +245,7 @@ def hk_coefficients(params: HKParams, bc: BatchConstants, state: TrajState,
                     c_signed):
     """Expansion coefficients v_i of the HK wavefunction in the coherent-state
     basis (reference propagators.py:657-686)."""
-    phase = jnp.exp(times_i(state.S.astype(real_dtype(c_signed.dtype)) / hbar))
+    phase = phase_exp(state.S / hbar, c_signed.dtype)
     return c_signed * phase * bc.vi * bc.weight
 
 
@@ -326,7 +329,19 @@ class HermanKlukPropagator:
     jitted scan.
     """
 
-    def __init__(self, Gamma_i, Gamma_t, dtype=jnp.float64):
+    def __init__(self, Gamma_i, Gamma_t, dtype=jnp.float64, traj_dtype=None):
+        """
+        Parameters
+        ----------
+        Gamma_i, Gamma_t : (d, d) width matrices of the frozen Gaussians
+        dtype : precision of the parameter packs and all complex algebra
+            (float32 -> complex64, float64 -> complex128)
+        traj_dtype : precision of the trajectory state q, p, S (defaults to
+            `dtype`). The mixed mode dtype=float32, traj_dtype=float64 is
+            the recommended TPU configuration: full-precision classical
+            dynamics with the monodromy matmuls and complex determinant in
+            f32/c64 (complex128 is unsupported on TPU backends).
+        """
         Gamma_i = np.asarray(Gamma_i, dtype=np.float64)
         Gamma_t = np.asarray(Gamma_t, dtype=np.float64)
         assert linalg.is_symmetric_non_negative(Gamma_i), (
@@ -338,6 +353,7 @@ class HermanKlukPropagator:
         self.Gamma_i = Gamma_i
         self.Gamma_t = Gamma_t
         self.dtype = dtype
+        self.traj_dtype = dtype if traj_dtype is None else traj_dtype
 
     # -- hooks shared with the WM subclass -----------------------------------
 
@@ -353,8 +369,8 @@ class HermanKlukPropagator:
         return _hk_scan_jit(
             self.params, self._bc, potential, self.state,
             self.trackers["prefactorC"],
-            jnp.asarray(self.t, dtype=self.dtype),
-            jnp.asarray(dt, dtype=self.dtype), nt,
+            jnp.asarray(self.t, dtype=self.traj_dtype),
+            jnp.asarray(dt, dtype=self.traj_dtype), nt,
         )
 
     def _store_scan_carry(self, carry):
@@ -391,7 +407,7 @@ class HermanKlukPropagator:
         Gamma_0 = np.asarray(Gamma_0, dtype=np.float64)
 
         sampling = SamplingParams.create(q0, p0, Gamma_0, self.Gamma_i,
-                                         dtype=self.dtype)
+                                         dtype=self.traj_dtype)
         self.sampling = sampling
         self.params = self._make_params(
             Gamma_0, q0, p0, np.asarray(sampling.U), np.asarray(sampling.iGi0)
@@ -414,7 +430,8 @@ class HermanKlukPropagator:
         logger.info(f"number of trajectories :  {ntraj}")
 
         self.ntraj = ntraj
-        self.state = TrajState.initial(qi, pi, dtype=self.dtype)
+        self.state = TrajState.initial(qi, pi, dtype=self.traj_dtype,
+                                       mono_dtype=self.dtype)
         self._bc = self._make_batch_constants(self.state.q, self.state.p,
                                               prob, potential)
         self._bc_has_nacq = potential is not None

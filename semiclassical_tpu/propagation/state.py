@@ -37,14 +37,23 @@ class TrajState:
     S: jnp.ndarray
 
     @staticmethod
-    def initial(q, p, dtype=None):
-        """Monodromy = identity, action = 0 (reference propagators.py:589-603)."""
+    def initial(q, p, dtype=None, mono_dtype=None):
+        """Monodromy = identity, action = 0 (reference propagators.py:589-603).
+
+        `dtype` sets the trajectory (q, p, S) precision, `mono_dtype` the
+        monodromy-block precision (defaults to `dtype`). The mixed mode
+        (f64 trajectories + f32 monodromy) keeps the chaotic classical
+        dynamics at full precision while the heavy (n, d, d) matmul chain
+        runs on the MXU in f32.
+        """
         if dtype is not None:
             q = q.astype(dtype)
             p = p.astype(dtype)
+        if mono_dtype is None:
+            mono_dtype = q.dtype
         n, d = q.shape
-        eye = jnp.broadcast_to(jnp.eye(d, dtype=q.dtype), (n, d, d))
-        zeros = jnp.zeros((n, d, d), dtype=q.dtype)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=mono_dtype), (n, d, d))
+        zeros = jnp.zeros((n, d, d), dtype=mono_dtype)
         return TrajState(
             q=q, p=p,
             Mqq=eye, Mqp=zeros, Mpq=zeros, Mpp=eye,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import real_dtype, times_i
+from semiclassical_tpu.linalg import phase_exp, real_dtype, times_i, to_device
 from semiclassical_tpu.coherent import overlap_matrix  # noqa: F401 (norm)
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.hk import (
@@ -157,8 +157,8 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
         auto_pref=jnp.asarray(auto_pref, dtype=dtype),
         coef_pref=jnp.asarray(coef_pref, dtype=dtype),
         Gt=jnp.asarray(Gamma_t, dtype=dtype),
-        A_const=jnp.asarray(A_const, dtype=cdtype),
-        BqU=jnp.asarray(BqU, dtype=cdtype),
+        A_const=to_device(A_const, cdtype),
+        BqU=to_device(BqU, cdtype),
         G0U=jnp.asarray(Gamma_0 @ U, dtype=dtype),
         UtG0U=jnp.asarray(U.T @ Gamma_0 @ U, dtype=dtype),
         Cqq=jnp.asarray(Gamma_0 - Gamma_0 @ iGi0 @ Gamma_0, dtype=dtype),
@@ -306,7 +306,7 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
     dQ = q0 - state.q.astype(cdtype)             # q0 - q(t)
 
     pref = params.auto_pref.astype(cdtype)
-    phase = jnp.exp(times_i(state.S.astype(real_dtype(cdtype)) / hbar))
+    phase = phase_exp(state.S / hbar, cdtype)
     pref = (pref * c_signed * phase
             * signs_A / jnp.sqrt(derived.detA)
             * signs_M / jnp.sqrt(derived.detM))
@@ -364,7 +364,7 @@ def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
     cdtype = c_signed.dtype
     q0 = params.hk.q0[None, :].astype(cdtype)
     dq = q0 - bc.base.qi.astype(cdtype)
-    phase = jnp.exp(times_i(state.S.astype(real_dtype(cdtype)) / hbar))
+    phase = phase_exp(state.S / hbar, cdtype)
     v = (params.coef_pref.astype(cdtype)
          * c_signed * phase
          * signs_A / jnp.sqrt(derived.detA)
@@ -475,8 +475,9 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         trajectories (reference propagators.py:1088-1093).
     """
 
-    def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64):
-        super().__init__(Gamma_i, Gamma_t, dtype=dtype)
+    def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64,
+                 traj_dtype=None):
+        super().__init__(Gamma_i, Gamma_t, dtype=dtype, traj_dtype=traj_dtype)
         self.alpha = float(alpha)
         self.beta = float(beta)
 
@@ -513,8 +514,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                      self.trackers["detM"])
         return _wm_scan_jit(
             self.params, self._bc, potential, self.state, trackers0,
-            jnp.asarray(self.t, dtype=self.dtype),
-            jnp.asarray(dt, dtype=self.dtype), nt,
+            jnp.asarray(self.t, dtype=self.traj_dtype),
+            jnp.asarray(dt, dtype=self.traj_dtype), nt,
         )
 
     def _store_scan_carry(self, carry):

@@ -19,7 +19,7 @@ from semiclassical_tpu.propagation import (
 )
 
 
-def _run(prop_cls, kwargs, dtype):
+def _run(prop_cls, kwargs, dtype, traj_dtype=None):
     rng = np.random.default_rng(0)
     d = 12
     omega = rng.uniform(300.0, 2500.0, size=d) / 219474.63
@@ -30,7 +30,8 @@ def _run(prop_cls, kwargs, dtype):
     Gamma = np.diag(omega)
     q0 = np.sqrt(2 * S / omega)
 
-    prop = prop_cls(Gamma, Gamma, dtype=dtype, **kwargs)
+    prop = prop_cls(Gamma, Gamma, dtype=dtype, traj_dtype=traj_dtype,
+                    **kwargs)
     prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=4096, key=11,
                             potential=pot)
     # ~500 a.u. of propagation, production-like step
@@ -57,3 +58,19 @@ def test_f32_matches_f64(prop_cls, kwargs):
     # (f64 trajectories + f32 monodromy/complex algebra).
     assert err_c < 5e-2, err_c
     assert err_k < 1e-1, err_k
+
+
+@pytest.mark.parametrize("prop_cls,kwargs", [
+    (HermanKlukPropagator, {}),
+    (WaltonManolopoulosPropagator, {"alpha": 500.0, "beta": 500.0}),
+])
+def test_mixed_matches_f64(prop_cls, kwargs):
+    """Mixed mode (f64 trajectories + f32 monodromy/complex) must track the
+    full-f64 result far more tightly than pure f32 — the classical chaos
+    lives in (q, p), which stay f64."""
+    c64_c, c64_k = _run(prop_cls, kwargs, jnp.float64)
+    cm_c, cm_k = _run(prop_cls, kwargs, jnp.float32, traj_dtype=jnp.float64)
+    err_c = np.abs(cm_c - c64_c).max() / max(np.abs(c64_c).max(), 1e-30)
+    err_k = np.abs(cm_k - c64_k).max() / max(np.abs(c64_k).max(), 1e-30)
+    assert err_c < 2e-3, err_c
+    assert err_k < 5e-3, err_k
