@@ -35,16 +35,22 @@ def main():
     # determinants are complex) -> default to float32/complex64 on TPU,
     # float64 elsewhere; override with BENCH_DTYPE.
     on_tpu = jax.devices()[0].platform != "cpu"
+    # "mixed" = f64 trajectories + f32 monodromy/complex algebra — the
+    # recommended TPU configuration (no complex128 on TPU backends)
     dtype_name = os.environ.get("BENCH_DTYPE",
-                                "float32" if on_tpu else "float64")
+                                "mixed" if on_tpu else "float64")
     ntraj = int(os.environ.get("BENCH_NTRAJ", "8192"))
     nt = int(os.environ.get("BENCH_NT", "100"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _as60_setup
 
-    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
-    prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
+    if dtype_name == "mixed":
+        prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                traj_dtype=jnp.float64)
+    else:
+        dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+        prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
     en0 = 0.0
     dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode (dt*w ~ 0.003)
 

@@ -114,11 +114,45 @@ def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
 
 
 def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
-    """Full overlap matrix <qi(i)|qj(j)> of shape (ni, nj)."""
-    dq = qj[None, :, :] - qi[:, None, :]
-    dp = pj[None, :, :] - pi[:, None, :]
-    pj_b = jnp.broadcast_to(pj[None, :, :], dq.shape)
-    return ov.fac * jnp.exp(_overlap_exponent(ov, dq, dp, pj_b))
+    """Full overlap matrix <qi(i)|qj(j)> of shape (ni, nj).
+
+    The quadratic forms are *expanded* so the pairwise structure reduces to
+    per-vector diagonals plus (ni, d) @ (d, nj) matmuls — O(ni nj d) matmul
+    flops on the MXU with O(ni nj) memory, instead of materialising the
+    (ni, nj, d) displacement tensors of the naive formulation (which is what
+    the reference's einsums do, propagators.py:232-237).
+    """
+    t = ov.Gi_iGij_Gj.dtype
+    qi, pi = qi.astype(t), pi.astype(t)
+    qj, pj = qj.astype(t), pj.astype(t)
+    A = ov.Gi_iGij_Gj
+    B = ov.iGij / hbar**2
+    C = ov.Gj_iGij
+
+    Aqj, Bpj, Cpj = qj @ A.T, pj @ B.T, pj @ C.T      # (nj, d)
+    Cpi = pi @ C.T                                    # (ni, d)
+
+    # -1/2 (qj-qi)^T A (qj-qi) - 1/(2 hbar^2) (pj-pi)^T B (pj-pi)
+    aq_ii = jnp.einsum("nd,nd->n", qi, qi @ A.T)
+    aq_jj = jnp.einsum("nd,nd->n", qj, Aqj)
+    bp_ii = jnp.einsum("nd,nd->n", pi, pi @ B.T)
+    bp_jj = jnp.einsum("nd,nd->n", pj, Bpj)
+    re = (-0.5 * (aq_ii[:, None] + aq_jj[None, :] - 2.0 * qi @ Aqj.T)
+          - 0.5 * (bp_ii[:, None] + bp_jj[None, :] - 2.0 * pi @ Bpj.T))
+
+    # [-pj.(qj-qi) + (qj-qi)^T C (pj-pi)] / hbar, fully expanded:
+    #   (qj C pj - qj pj)[j] + qi.pj[i,j] - (qj C pi)[j,i] - (qi C pj)[i,j]
+    #   + (qi C pi)[i]
+    qcp_jj = jnp.einsum("nd,nd->n", qj, Cpj)
+    qcp_ii = jnp.einsum("nd,nd->n", qi, Cpi)
+    qp_jj = jnp.einsum("nd,nd->n", qj, pj)
+    im = ((qcp_jj - qp_jj)[None, :]
+          + qi @ pj.T
+          - (qj @ Cpi.T).T
+          - qi @ Cpj.T
+          + qcp_ii[:, None]) / hbar
+
+    return ov.fac * jnp.exp(re + times_i(im))
 
 
 @pytree_dataclass(meta=("rank",))

@@ -32,6 +32,7 @@ __all__ = [
     "times_i",
     "real_dtype",
     "to_device",
+    "from_device",
     "phase_exp",
     "sym_eigh",
     "sym_sqrtm",
@@ -67,6 +68,16 @@ def to_device(x, dtype):
         return jax.lax.complex(jnp.asarray(x.real.astype(rtype)),
                                jnp.asarray(x.imag.astype(rtype)))
     return jnp.asarray(x.astype(dtype.type))
+
+
+def from_device(x):
+    """Device -> host fetch that works for complex arrays on TPU backends
+    (complex transfers are unimplemented in either direction; real views
+    transfer fine)."""
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return np.asarray(x.real) + 1j * np.asarray(x.imag)
+    return np.asarray(x)
 
 
 def phase_exp(s, cdtype):

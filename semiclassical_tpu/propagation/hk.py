@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import phase_exp, real_dtype, times_i, to_device
+from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
+                                      times_i, to_device)
 from semiclassical_tpu.coherent import (
     OverlapParams,
     WavefunctionParams,
@@ -465,8 +466,8 @@ class HermanKlukPropagator:
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
         scale = float(self._bc.weight_scale)
-        return (np.asarray(cauto) * scale * phase,
-                np.asarray(kic) * scale * phase)
+        return (from_device(cauto) * scale * phase,
+                from_device(kic) * scale * phase)
 
     # -- granular (reference-shaped) API --------------------------------------
 
@@ -490,7 +491,7 @@ class HermanKlukPropagator:
         c = self.semiclassical_prefactor()
         cauto_qp = hk_autocorr_qp(self.params, self._bc, self.state, c)
         cauto = jnp.sum(cauto_qp * self._bc.weight)
-        return (complex(cauto) * float(self._bc.weight_scale)
+        return (complex(from_device(cauto)) * float(self._bc.weight_scale)
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
@@ -498,7 +499,7 @@ class HermanKlukPropagator:
         c = self.semiclassical_prefactor()
         _, kic = hk_observables(self.params, self._bc, self.state, c,
                                 potential)
-        return (complex(kic) * float(self._bc.weight_scale)
+        return (complex(from_device(kic)) * float(self._bc.weight_scale)
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def coefficients(self):
@@ -514,8 +515,8 @@ class HermanKlukPropagator:
     def wavefunction(self, x):
         """psi(x, t) on a spatial grid x of shape (nx, d)."""
         v = self.coefficients()
-        return np.asarray(wavefunction(self.params.wf, self.state.q,
-                                       self.state.p, v, jnp.asarray(x)))
+        return from_device(wavefunction(self.params.wf, self.state.q,
+                                        self.state.p, v, jnp.asarray(x)))
 
     def initial_positions_and_momenta(self):
         return self._bc.qi, self._bc.pi

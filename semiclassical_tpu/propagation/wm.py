@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import phase_exp, real_dtype, times_i, to_device
+from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
+                                      times_i, to_device)
 from semiclassical_tpu.coherent import overlap_matrix  # noqa: F401 (norm)
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.hk import (
@@ -429,8 +430,9 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
         si = slice(ib * block, min((ib + 1) * block, n))
         for jb in range(nblocks):
             sj = slice(jb * block, min((jb + 1) * block, n))
-            norm2 += complex(block_term(Q[si], dvec[si], CQQ[si], v[si],
-                                        Q[sj], dvec[sj], CQQ[sj], v[sj]))
+            norm2 += complex(from_device(
+                block_term(Q[si], dvec[si], CQQ[si], v[si],
+                           Q[sj], dvec[sj], CQQ[sj], v[sj])))
     return float(np.sqrt(norm2.real))
 
 
@@ -545,7 +547,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                                   c, self.trackers["detA"].signs,
                                   self.trackers["detM"].signs)
         cauto = jnp.sum(cauto_qp * self._bc.base.weight)
-        return (complex(cauto) * float(self._bc.base.weight_scale)
+        return (complex(from_device(cauto))
+                * float(self._bc.base.weight_scale)
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
@@ -555,7 +558,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         _, kic = wm_observables(self.params, self._bc, self.state, derived, c,
                                 self.trackers["detA"].signs,
                                 self.trackers["detM"].signs, potential)
-        return (complex(kic) * float(self._bc.base.weight_scale)
+        return (complex(from_device(kic))
+                * float(self._bc.base.weight_scale)
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def _coefficients_and_derived(self):
@@ -571,8 +575,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
 
     def wavefunction(self, x):
         v, derived = self._coefficients_and_derived()
-        return np.asarray(wm_wavefunction(self.params, self._bc, self.state,
-                                          derived, v, jnp.asarray(x)))
+        return from_device(wm_wavefunction(self.params, self._bc, self.state,
+                                           derived, v, jnp.asarray(x)))
 
     def norm(self):
         v, derived = self._coefficients_and_derived()
