@@ -20,17 +20,20 @@ Capability parity with reference propagators.py:124-292
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import times_i, to_device
+from semiclassical_tpu.linalg import real_dtype, times_i, to_device
 from semiclassical_tpu.pytree import pytree_dataclass
 from semiclassical_tpu.units import hbar
 
 __all__ = [
     "OverlapParams",
+    "overlap_exponent_vector",
     "overlap_vector",
     "overlap_matrix",
+    "complex_exp",
     "WavefunctionParams",
     "wavefunction",
 ]
@@ -51,7 +54,12 @@ class OverlapParams:
     rank: int
 
     @staticmethod
-    def create(Gi: np.ndarray, Gj: np.ndarray, dtype=jnp.float64):
+    def create(Gi: np.ndarray, Gj: np.ndarray, dtype=jnp.float64,
+               out_dtype=None):
+        """`dtype` sets the precision of the exponent computation (use the
+        trajectory precision — the quadratic forms reach ~1e2 and decide the
+        overlap's accuracy), `out_dtype` the complex dtype of the returned
+        overlaps (defaults to the complex dtype matching `dtype`)."""
         Gi = np.asarray(Gi, dtype=np.float64)
         Gj = np.asarray(Gj, dtype=np.float64)
         assert Gi.shape == Gj.shape, (
@@ -76,7 +84,10 @@ class OverlapParams:
         fac = np.sqrt(
             2.0**ranki * np.sqrt(detGi + 0j) * np.sqrt(detGj + 0j) / detGij
         )
-        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        if out_dtype is None:
+            out_dtype = (jnp.complex128 if dtype == jnp.float64
+                         else jnp.complex64)
+        cdtype = out_dtype
         return OverlapParams(
             Gi_iGij_Gj=jnp.asarray(Gi @ iGij @ Gj, dtype=dtype),
             iGij=jnp.asarray(iGij, dtype=dtype),
@@ -86,8 +97,18 @@ class OverlapParams:
         )
 
 
+def complex_exp(re, im, cdtype):
+    """exp(re + i im) evaluated in the precision of re/im, returned as
+    `cdtype`. Keeps large exponents accurate in f64 while the result is
+    safe for complex64-only devices."""
+    rd = real_dtype(cdtype)
+    mag = jnp.exp(re)
+    return jax.lax.complex((mag * jnp.cos(im)).astype(rd),
+                           (mag * jnp.sin(im)).astype(rd))
+
+
 def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
-    """Exponent of the overlap for displacement arrays of shape (..., d).
+    """(re, im) exponent parts for displacement arrays of shape (..., d).
 
     dq = qj - qi, dp = pj - pi, pj = ket momenta.
     (reference propagators.py:232-237)
@@ -99,18 +120,27 @@ def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
                                               ov.iGij, dp))
     im_part = (jnp.einsum("...a,ab,...b->...", dq, ov.Gj_iGij, dp)
                - jnp.einsum("...a,...a->...", pj, dq)) / hbar
-    return re_part + times_i(im_part)
+    return re_part, im_part
+
+
+def overlap_exponent_vector(ov: OverlapParams, qi, pi, qj, pj):
+    """(re, im) exponent parts of <qi(n),pi(n),Gi|qj,pj,Gj> at the pack's
+    exponent precision — for callers that fold additional log-scale factors
+    (Monte-Carlo weights) into the exponent before exponentiating."""
+    dq = qj[None, :] - qi
+    dp = pj[None, :] - pi
+    pj_b = jnp.broadcast_to(pj[None, :], qi.shape)
+    return _overlap_exponent(ov, dq, dp, pj_b)
 
 
 def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
     """<qi(n),pi(n),Gi|qj,pj,Gj> for a batch of bra states and one ket.
 
-    qi, pi : (n, d); qj, pj : (d,). Returns complex (n,).
+    qi, pi : (n, d); qj, pj : (d,). Returns complex (n,) in the pack's
+    output dtype.
     """
-    dq = qj[None, :] - qi
-    dp = pj[None, :] - pi
-    pj_b = jnp.broadcast_to(pj[None, :], qi.shape)
-    return ov.fac * jnp.exp(_overlap_exponent(ov, dq, dp, pj_b))
+    re, im = overlap_exponent_vector(ov, qi, pi, qj, pj)
+    return ov.fac * complex_exp(re, im, ov.fac.dtype)
 
 
 def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
@@ -152,7 +182,7 @@ def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
           - qi @ Cpj.T
           + qcp_ii[:, None]) / hbar
 
-    return ov.fac * jnp.exp(re + times_i(im))
+    return ov.fac * complex_exp(re, im, ov.fac.dtype)
 
 
 @pytree_dataclass(meta=("rank",))

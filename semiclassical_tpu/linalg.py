@@ -209,14 +209,24 @@ def nonzero_subspace(A: np.ndarray, positive_only: bool = True) -> np.ndarray:
 
 import os as _os
 
-_LINALG_IMPL = _os.environ.get("SEMI_LINALG_IMPL", "xla")
+_LINALG_IMPL = _os.environ.get("SEMI_LINALG_IMPL", "auto")
 
 
 def set_linalg_impl(name: str):
-    """Choose the batched det/inv backend: "xla" or "jax"."""
+    """Choose the batched det/inv backend: "xla", "jax" or "auto"."""
     global _LINALG_IMPL
-    assert name in ("xla", "jax"), name
+    assert name in ("xla", "jax", "auto"), name
     _LINALG_IMPL = name
+
+
+def _resolve_impl():
+    if _LINALG_IMPL != "auto":
+        return _LINALG_IMPL
+    # XLA's complex LU on the TPU backend is numerically unreliable
+    # (det of a 60x60 identity comes back as 1.03); the hand-written
+    # vectorised LU/Gauss-Jordan is exact there. CPU LAPACK is both exact
+    # and faster than the fori-loop version.
+    return "jax" if jax.default_backend() != "cpu" else "xla"
 
 
 def _lu_factor_batched(A: jax.Array):
@@ -299,13 +309,13 @@ def _inv_jax(A: jax.Array) -> jax.Array:
 
 def batched_det(A: jax.Array) -> jax.Array:
     """Determinant of a batch of small (complex) matrices, shape (n, r, r)."""
-    if _LINALG_IMPL == "jax":
+    if _resolve_impl() == "jax":
         return _det_jax(A)
     return jnp.linalg.det(A)
 
 
 def batched_inv(A: jax.Array) -> jax.Array:
     """Inverse of a batch of small (complex) matrices, shape (n, r, r)."""
-    if _LINALG_IMPL == "jax":
+    if _resolve_impl() == "jax":
         return _inv_jax(A)
     return jnp.linalg.inv(A)

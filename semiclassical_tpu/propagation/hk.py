@@ -35,6 +35,8 @@ from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
 from semiclassical_tpu.coherent import (
     OverlapParams,
     WavefunctionParams,
+    complex_exp,
+    overlap_exponent_vector,
     overlap_matrix,
     overlap_vector,
     wavefunction,
@@ -107,14 +109,32 @@ class BatchConstants:
 
     qi: jnp.ndarray       # (n, d)  initial positions
     pi: jnp.ndarray       # (n, d)  initial momenta
-    prob: jnp.ndarray     # (n,) f64  sampling densities P(qi, pi)
+    log_prob: jnp.ndarray  # (n,) f64  log sampling densities log P(qi, pi)
     weight: jnp.ndarray   # (n,)    normalised MC weights
-    weight_scale: jnp.ndarray  # () f64  scale so that true weight = weight * scale
+    logw_norm: jnp.ndarray  # (n,) traj-precision  log of the normalised
+                            # weights (= log weight)
+    log_weight_scale: jnp.ndarray  # () f64 log scale:
+                                   # true weight = weight * exp(log_weight_scale)
     vi: jnp.ndarray       # (n,) complex  <qi,pi,Gi|phi(0)>
+    obs_re: jnp.ndarray   # (n,) traj-precision  Re log(vi/fac) + logw_norm
+    obs_im: jnp.ndarray   # (n,) traj-precision  Im log(vi/fac)
     nacq: jnp.ndarray     # (n,) complex  initial-point NAC factor of k~ic
 
+    @property
+    def weight_scale(self):
+        import numpy as _np
+        return _np.exp(float(self.log_weight_scale))
 
-def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype):
+
+def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
+                     traj_dtype=None):
+    """`dtype` is the monodromy/complex precision (the prefactor factor
+    matrices and all complex outputs), `traj_dtype` the precision of the
+    geometry-side constants used in observable exponents — these see
+    quadratic forms of magnitude ~1e2 and should match the trajectory
+    precision (f64 in the mixed mode)."""
+    if traj_dtype is None:
+        traj_dtype = dtype
     cdtype = complex_dtype(dtype)
     sqGi, isqGi = linalg.sym_sqrtm(Gamma_i)
     sqGt, isqGt = linalg.sym_sqrtm(Gamma_t)
@@ -125,16 +145,19 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype):
         Lt_i=to_device(Uc.T @ isqGt, cdtype),
         Ri_s=to_device(sqGi @ Uc, cdtype),
         Ri_i=to_device(isqGi @ Uc, cdtype),
-        q0=jnp.asarray(q0, dtype=dtype),
-        p0=jnp.asarray(p0, dtype=dtype),
-        G0=jnp.asarray(Gamma_0, dtype=dtype),
-        iGi0=jnp.asarray(iGi0, dtype=dtype),
-        R=jnp.asarray(R, dtype=dtype),
+        q0=jnp.asarray(q0, dtype=traj_dtype),
+        p0=jnp.asarray(p0, dtype=traj_dtype),
+        G0=jnp.asarray(Gamma_0, dtype=traj_dtype),
+        iGi0=jnp.asarray(iGi0, dtype=traj_dtype),
+        R=jnp.asarray(R, dtype=traj_dtype),
         U=jnp.asarray(U, dtype=dtype),
-        csoi0=OverlapParams.create(Gamma_i, Gamma_0, dtype=dtype),
-        csot0=OverlapParams.create(Gamma_t, Gamma_0, dtype=dtype),
-        csott=OverlapParams.create(Gamma_t, Gamma_t, dtype=dtype),
-        wf=WavefunctionParams.create(Gamma_t, dtype=dtype),
+        csoi0=OverlapParams.create(Gamma_i, Gamma_0, dtype=traj_dtype,
+                                   out_dtype=cdtype),
+        csot0=OverlapParams.create(Gamma_t, Gamma_0, dtype=traj_dtype,
+                                   out_dtype=cdtype),
+        csott=OverlapParams.create(Gamma_t, Gamma_t, dtype=traj_dtype,
+                                   out_dtype=cdtype),
+        wf=WavefunctionParams.create(Gamma_t, dtype=traj_dtype),
         dim=int(q0.shape[0]),
         rank=int(U.shape[1]),
     )
@@ -177,6 +200,7 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
           * jnp.sum(tau2 * inv_m[None, :], axis=1)).astype(t)  # (n,)
     dq = (params.q0[None, :] - x.astype(params.q0.dtype))
     core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R, n1)
+    core = core.astype(real_dtype(pvec.dtype))
     return core + (sign / hbar) * times_i(
         jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
 
@@ -187,7 +211,7 @@ def _shifted_momentum(params: HKParams, p):
     return params.p0[None, :] + (p - params.p0[None, :]) @ (params.G0 @ params.iGi0).T
 
 
-def hk_batch_constants(params: HKParams, qi, pi, prob,
+def hk_batch_constants(params: HKParams, qi, pi, log_prob,
                        potential=None) -> BatchConstants:
     """Precompute everything that depends only on the initial conditions.
 
@@ -195,19 +219,26 @@ def hk_batch_constants(params: HKParams, qi, pi, prob,
     in; otherwise it is zero and can be added later via `with_nacq`.
     """
     n = qi.shape[0]
-    logw = -(np.log(n) + jnp.log(prob.astype(jnp.float64))
+    logw = -(np.log(n) + log_prob
              + params.dim * np.log(2.0 * np.pi * hbar))
     log_scale = jnp.mean(logw)
-    weight = jnp.exp(logw - log_scale).astype(real_dtype(params.Lt_s.dtype))
-    weight_scale = jnp.exp(log_scale)
+    logw_norm = (logw - log_scale).astype(qi.dtype)
+    weight = jnp.exp(logw_norm).astype(real_dtype(params.Lt_s.dtype))
     vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
+    # exponent parts of the *weighted* initial overlap: for trajectories far
+    # in the tail, vi underflows the complex dtype while weight * vi is
+    # O(1/n) — the product must live as a single fused exponent
+    re_i, im_i = overlap_exponent_vector(params.csoi0, qi, pi,
+                                         params.q0, params.p0)
+    obs_re = re_i + logw_norm
     if potential is None:
         nacq = jnp.zeros(n, dtype=vi.dtype)
     else:
         pvec = _shifted_momentum(params, pi)
         nacq = _nac_factor(params, potential, qi, pvec.astype(vi.dtype), +1.0)
-    return BatchConstants(qi=qi, pi=pi, prob=prob, weight=weight,
-                          weight_scale=weight_scale, vi=vi, nacq=nacq)
+    return BatchConstants(qi=qi, pi=pi, log_prob=log_prob, weight=weight,
+                          logw_norm=logw_norm, log_weight_scale=log_scale,
+                          vi=vi, obs_re=obs_re, obs_im=im_i, nacq=nacq)
 
 
 def with_nacq(params: HKParams, bc: BatchConstants, potential) -> BatchConstants:
@@ -218,11 +249,18 @@ def with_nacq(params: HKParams, bc: BatchConstants, potential) -> BatchConstants
 
 def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
                    c_signed):
-    """Per-trajectory contribution to the autocorrelation function
-    (reference propagators.py:784-807)."""
-    vt = overlap_vector(params.csot0, state.q, state.p, params.q0, params.p0)
-    phase = phase_exp(state.S / hbar, c_signed.dtype)
-    return jnp.conj(vt) * bc.vi * c_signed * phase
+    """Per-trajectory *weighted* contribution to the autocorrelation
+    function: cauto_qp * w~ with w~ the normalised MC weight (reference
+    propagators.py:784-807, 829-837). The weight, both overlap exponents
+    and the action phase are combined into one exponent at trajectory
+    precision before exponentiating, so tail trajectories whose raw overlap
+    underflows the complex dtype still contribute exactly."""
+    re_t, im_t = overlap_exponent_vector(params.csot0, state.q, state.p,
+                                         params.q0, params.p0)
+    total_re = re_t + bc.obs_re
+    total_im = (bc.obs_im - im_t) + state.S.astype(re_t.dtype) / hbar
+    fac = jnp.conj(params.csot0.fac) * params.csoi0.fac
+    return fac * c_signed * complex_exp(total_re, total_im, c_signed.dtype)
 
 
 def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
@@ -232,13 +270,13 @@ def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
     and applied on the host (reference propagators.py:809-911 applies it per
     call with a per-observable E0)."""
     cauto_qp = hk_autocorr_qp(params, bc, state, c_signed)
-    cauto = jnp.sum(cauto_qp * bc.weight)
+    cauto = jnp.sum(cauto_qp)
 
     PI = _shifted_momentum(params, state.p)
     nacQ = _nac_factor(params, potential, state.q, PI.astype(c_signed.dtype),
                        -1.0)
     kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
-    kic = jnp.sum(kic_qp * bc.weight)
+    kic = jnp.sum(kic_qp)
     return cauto, kic
 
 
@@ -360,7 +398,8 @@ class HermanKlukPropagator:
 
     def _make_params(self, Gamma_0, q0, p0, U, iGi0):
         return _build_hk_params(self.Gamma_i, self.Gamma_t, Gamma_0,
-                                q0, p0, U, iGi0, self.dtype)
+                                q0, p0, U, iGi0, self.dtype,
+                                traj_dtype=self.traj_dtype)
 
     def _make_trackers(self, state):
         c2 = hk_prefactor_det(self.params, state)
@@ -465,7 +504,7 @@ class HermanKlukPropagator:
             check_energy_conservation(energies)
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
-        scale = float(self._bc.weight_scale)
+        scale = self._bc.weight_scale
         return (from_device(cauto) * scale * phase,
                 from_device(kic) * scale * phase)
 
@@ -490,8 +529,8 @@ class HermanKlukPropagator:
     def autocorrelation(self, energy0_es=0.0):
         c = self.semiclassical_prefactor()
         cauto_qp = hk_autocorr_qp(self.params, self._bc, self.state, c)
-        cauto = jnp.sum(cauto_qp * self._bc.weight)
-        return (complex(from_device(cauto)) * float(self._bc.weight_scale)
+        cauto = jnp.sum(cauto_qp)
+        return (complex(from_device(cauto)) * self._bc.weight_scale
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
@@ -499,13 +538,13 @@ class HermanKlukPropagator:
         c = self.semiclassical_prefactor()
         _, kic = hk_observables(self.params, self._bc, self.state, c,
                                 potential)
-        return (complex(from_device(kic)) * float(self._bc.weight_scale)
+        return (complex(from_device(kic)) * self._bc.weight_scale
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def coefficients(self):
         v = hk_coefficients(self.params, self._bc, self.state,
                             self.semiclassical_prefactor())
-        return v * self._bc.weight_scale.astype(v.dtype)
+        return v * jnp.asarray(self._bc.weight_scale, dtype=real_dtype(v.dtype))
 
     def norm(self):
         """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic)."""

@@ -100,6 +100,10 @@ class WMBatchConstants:
     def weight_scale(self):
         return self.base.weight_scale
 
+    @property
+    def log_weight_scale(self):
+        return self.base.log_weight_scale
+
 
 @pytree_dataclass
 class WMDerived:
@@ -178,7 +182,7 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     """All per-trajectory WM tensors for the current state (eqns. 50-84)."""
     hk = params.hk
     cdtype = hk.Lt_s.dtype
-    U = hk.U                                     # (d, r)
+    U = hk.U.astype(state.Mqq.dtype)             # (d, r)
     r = params.rank
     p0 = hk.p0
 
@@ -265,9 +269,10 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
 # batch constants
 # ---------------------------------------------------------------------------
 
-def wm_batch_constants(params: WMParams, qi, pi, prob,
+def wm_batch_constants(params: WMParams, qi, pi, log_prob,
                        potential=None) -> WMBatchConstants:
-    base = hk_batch_constants(params.hk, qi, pi, prob, potential=potential)
+    base = hk_batch_constants(params.hk, qi, pi, log_prob,
+                              potential=potential)
     dp0 = params.hk.p0[None, :] - pi
     # eps (eqn. 74 with b0 = 0) and PIq (eqn. 72 with pi_i = p)
     eps = -(0.5 / hbar**2) * jnp.einsum("na,ab,nb->n", dp0, params.hk.iGi0,
@@ -312,7 +317,11 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
             * signs_A / jnp.sqrt(derived.detA)
             * signs_M / jnp.sqrt(derived.detM))
 
+    # normalised MC log-weight folded into the exponent: the Gaussian factor
+    # alone can underflow the complex dtype for tail trajectories while the
+    # weighted contribution stays O(1/n)
     expo = (derived.gamma
+            + bc.logw_norm.astype(cdtype)
             - 0.5 * jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, dq)
             - 0.5 * jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, dQ)
             + jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, dQ)
@@ -329,8 +338,7 @@ def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
     cdtype = c_signed.dtype
     cauto_qp = wm_autocorr_qp(params, bc, state, derived, c_signed,
                               signs_A, signs_M)
-    weight = bc.base.weight
-    cauto = jnp.sum(cauto_qp * weight)
+    cauto = jnp.sum(cauto_qp)
 
     n1Q, n2Q = _nac_terms(potential, state.q)
     n1q = bc.n1q.astype(cdtype)
@@ -352,7 +360,7 @@ def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
             + times_i(jnp.einsum("ni,ni->n", derived.Pq, n1q) / hbar))
 
     kic_qp = (1.0 / hbar**2) * (nacqQ + nacQ * nacq) * cauto_qp
-    kic = jnp.sum(kic_qp * weight)
+    kic = jnp.sum(kic_qp)
     return cauto, kic
 
 
@@ -487,7 +495,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
 
     def _make_params(self, Gamma_0, q0, p0, U, iGi0):
         hk = _build_hk_params(self.Gamma_i, self.Gamma_t, Gamma_0,
-                              q0, p0, U, iGi0, self.dtype)
+                              q0, p0, U, iGi0, self.dtype,
+                              traj_dtype=self.traj_dtype)
         return _build_wm_params(hk, self.Gamma_i, self.Gamma_t, Gamma_0,
                                 self.alpha, self.beta, self.dtype)
 
@@ -546,9 +555,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         cauto_qp = wm_autocorr_qp(self.params, self._bc, self.state, derived,
                                   c, self.trackers["detA"].signs,
                                   self.trackers["detM"].signs)
-        cauto = jnp.sum(cauto_qp * self._bc.base.weight)
-        return (complex(from_device(cauto))
-                * float(self._bc.base.weight_scale)
+        cauto = jnp.sum(cauto_qp)
+        return (complex(from_device(cauto)) * self._bc.base.weight_scale
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def ic_correlation(self, potential, energy0_es=0.0):
@@ -558,8 +566,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         _, kic = wm_observables(self.params, self._bc, self.state, derived, c,
                                 self.trackers["detA"].signs,
                                 self.trackers["detM"].signs, potential)
-        return (complex(from_device(kic))
-                * float(self._bc.base.weight_scale)
+        return (complex(from_device(kic)) * self._bc.base.weight_scale
                 * np.exp(1j / hbar * self.t * energy0_es))
 
     def _coefficients_and_derived(self):
@@ -568,7 +575,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         derived = self._sync_derived()
         v = wm_coefficients(self.params, self._bc, self.state, derived, c,
                             self.trackers["detA"].signs)
-        return v * self._bc.base.weight_scale.astype(v.dtype), derived
+        return (v * jnp.asarray(self._bc.base.weight_scale,
+                                dtype=real_dtype(v.dtype)), derived)
 
     def coefficients(self):
         return self._coefficients_and_derived()[0]

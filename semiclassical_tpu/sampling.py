@@ -106,21 +106,25 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
     -------
     q : (ntraj, d) initial positions
     p : (ntraj, d) initial momenta
-    prob : (ntraj,) sampling probability density P(qi, pi)
+    log_prob : (ntraj,) f64  log of the sampling density log P(qi, pi)
 
     The density keeps the reference's 1/(2 pi)^dim convention (full dim, not
     rank) because the same factor appears in the phase-space volume element
     of every observable and cancels (reference propagators.py:552-566).
+
+    The density is returned in *log* space: in many dimensions P spans
+    hundreds of orders of magnitude (the reference's linear-scale P,
+    propagators.py:555, silently under/overflows beyond ~150 dimensions,
+    and TPU float64 cannot be trusted at extreme ranges), while log P stays
+    O(100) in every precision.
     """
     d = params.dim
     x = jax.random.normal(key, (ntraj, 2 * params.rank),
                           dtype=params.iLz.dtype)
     z = params.z0[None, :] + x @ params.iLz                 # (n, 2 d)
     q, p = z[:, :d], z[:, d:]
-    # the density spans hundreds of orders of magnitude for many modes —
-    # always evaluate it in float64 (it only ever enters log-space weight
-    # computations and diagnostics)
     x64 = x.astype(jnp.float64)
-    prob = (params.detLz.astype(jnp.float64) / (2.0 * np.pi) ** d
-            * jnp.exp(-0.5 * jnp.sum(x64 * x64, axis=1)))
-    return q, p, prob
+    log_prob = (jnp.log(params.detLz.astype(jnp.float64))
+                - d * np.log(2.0 * np.pi)
+                - 0.5 * jnp.sum(x64 * x64, axis=1))
+    return q, p, log_prob

@@ -72,5 +72,5 @@ def test_mixed_matches_f64(prop_cls, kwargs):
     cm_c, cm_k = _run(prop_cls, kwargs, jnp.float32, traj_dtype=jnp.float64)
     err_c = np.abs(cm_c - c64_c).max() / max(np.abs(c64_c).max(), 1e-30)
     err_k = np.abs(cm_k - c64_k).max() / max(np.abs(c64_k).max(), 1e-30)
-    assert err_c < 2e-3, err_c
-    assert err_k < 5e-3, err_k
+    assert err_c < 1e-4, err_c
+    assert err_k < 1e-3, err_k

@@ -20,7 +20,8 @@ def test_sampling_moments_full_rank():
 
     params = SamplingParams.create(q0, p0, G0, Gi)
     assert params.rank == d
-    q, p, prob = sample_initial_conditions(params, jax.random.key(0), 200000)
+    q, p, log_prob = sample_initial_conditions(params, jax.random.key(0),
+                                               200000)
     q, p = np.asarray(q), np.asarray(p)
 
     # sample means
@@ -34,9 +35,8 @@ def test_sampling_moments_full_rank():
     assert np.allclose(np.cov(q.T), cov_q_expected, atol=0.03)
     assert np.allclose(np.cov(p.T), cov_p_expected, atol=0.03)
 
-    # the density must reproduce itself: mean(1/P) over samples ~ phase-space
-    # volume consistency gives <P/P> = 1 trivially; check P > 0
-    assert (np.asarray(prob) > 0).all()
+    # log densities are finite and O(d)
+    assert np.isfinite(np.asarray(log_prob)).all()
 
 
 def test_sampling_zero_modes():
@@ -51,7 +51,8 @@ def test_sampling_zero_modes():
 
     params = SamplingParams.create(q0, p0, G0, G0)
     assert params.rank == 3
-    q, p, prob = sample_initial_conditions(params, jax.random.key(0), 5000)
+    q, p, log_prob = sample_initial_conditions(params, jax.random.key(0),
+                                               5000)
     # displacement along the zero mode is identically zero
     null_vec = V[:, 3]
     dq = np.asarray(q) - q0
