@@ -321,7 +321,7 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
     # alone can underflow the complex dtype for tail trajectories while the
     # weighted contribution stays O(1/n)
     expo = (derived.gamma
-            + bc.logw_norm.astype(cdtype)
+            + bc.base.logw_norm.astype(cdtype)
             - 0.5 * jnp.einsum("ni,nij,nj->n", dq, derived.Rqq, dq)
             - 0.5 * jnp.einsum("ni,nij,nj->n", dQ, derived.RQQ, dQ)
             + jnp.einsum("ni,nij,nj->n", dq, derived.RqQ, dQ)
