@@ -307,15 +307,88 @@ def _inv_jax(A: jax.Array) -> jax.Array:
     return aug[:, :, r:]
 
 
+# ---------------------------------------------------------------------------
+# Schur-complement recursion: batched det/inv built from matmuls only.
+#
+# det([[A, B], [C, D]]) = det(A) det(D - C A^{-1} B)
+# inv via the block formulas. The recursion unrolls at trace time (static
+# shapes), turning an (n, r, r) determinant into ~log2(r) levels of batched
+# matmuls — which the MXU eats — with 2x2 closed-form base cases. No
+# pivoting: the propagator matrices are well-conditioned (identity at t=0,
+# smooth evolution), and correctness is cross-checked against LAPACK on CPU
+# in the test suite.
+# ---------------------------------------------------------------------------
+
+def _det_inv_schur(M):
+    r = M.shape[-1]
+    if r == 1:
+        a = M[..., 0, 0]
+        return a, (1.0 / a)[..., None, None]
+    if r == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return det, inv
+    r1 = r // 2
+    A = M[..., :r1, :r1]
+    B = M[..., :r1, r1:]
+    C = M[..., r1:, :r1]
+    D = M[..., r1:, r1:]
+    detA, iA = _det_inv_schur(A)
+    iA_B = iA @ B
+    S = D - C @ iA_B
+    detS, iS = _det_inv_schur(S)
+    C_iA = C @ iA
+    top_right = -iA_B @ iS
+    inv = jnp.concatenate([
+        jnp.concatenate([iA - top_right @ C_iA, top_right], axis=-1),
+        jnp.concatenate([-iS @ C_iA, iS], axis=-1),
+    ], axis=-2)
+    return detA * detS, inv
+
+
+def _det_schur(M):
+    """det only — skips the inverse assembly of the trailing block."""
+    r = M.shape[-1]
+    if r == 1:
+        return M[..., 0, 0]
+    if r == 2:
+        return (M[..., 0, 0] * M[..., 1, 1]
+                - M[..., 0, 1] * M[..., 1, 0])
+    r1 = r // 2
+    A = M[..., :r1, :r1]
+    B = M[..., :r1, r1:]
+    C = M[..., r1:, :r1]
+    D = M[..., r1:, r1:]
+    detA, iA = _det_inv_schur(A)
+    S = D - C @ (iA @ B)
+    return detA * _det_schur(S)
+
+
+def batched_det_inv(A: jax.Array):
+    """(det, inv) of a batch of small (complex) matrices, shape (n, r, r).
+
+    One fused computation — callers needing both (the WM prefactor) avoid
+    paying for two factorizations.
+    """
+    if _resolve_impl() == "jax":
+        return _det_inv_schur(A)
+    return jnp.linalg.det(A), jnp.linalg.inv(A)
+
+
 def batched_det(A: jax.Array) -> jax.Array:
     """Determinant of a batch of small (complex) matrices, shape (n, r, r)."""
     if _resolve_impl() == "jax":
-        return _det_jax(A)
+        return _det_schur(A)
     return jnp.linalg.det(A)
 
 
 def batched_inv(A: jax.Array) -> jax.Array:
     """Inverse of a batch of small (complex) matrices, shape (n, r, r)."""
     if _resolve_impl() == "jax":
-        return _inv_jax(A)
+        return _det_inv_schur(A)[1]
     return jnp.linalg.inv(A)

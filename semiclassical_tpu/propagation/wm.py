@@ -211,11 +211,14 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
          + jnp.einsum("nia,nib->nab", MqzU, GtMqzU).astype(cdtype)
          + times_i(jnp.einsum("nia,nib->nab", MpzU, MqzU) * (2.0 / hbar)))
 
-    iA = linalg.batched_inv(A)                              # (n, 2r, 2r)
     # det(A / 2 sqrt(alpha beta)) — the limit of det(A) is
-    # (2 sqrt(alpha beta))^{2r} for alpha, beta -> oo, so the scaled
-    # determinant is O(1) (reference propagators.py:1312-1332)
-    detA = linalg.batched_det(A / (2.0 * jnp.sqrt(params.alpha * params.beta)))
+    # (2 sqrt(alpha beta))^{2r} for alpha, beta -> oo, so the *scaled*
+    # determinant is O(1) (reference propagators.py:1312-1332). Factorise
+    # the scaled matrix once: inv(A) = inv(A/s) / s.
+    s_ab = (2.0 * jnp.sqrt(params.alpha * params.beta)).astype(
+        real_dtype(cdtype))
+    detA, iA_s = linalg.batched_det_inv(A / s_ab)
+    iA = iA_s / s_ab                                        # (n, 2r, 2r)
 
     # BQ U2 = Gt Mqz U2 + i/hbar Mpz U2 (eqn. 53 projected)
     BQU = GtMqzU.astype(cdtype) + times_i(MpzU / hbar)      # (n, d, 2r)
@@ -239,8 +242,8 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     # eqn. 78: M = G0 + CQQ, projected to the non-zero subspace
     Mp = params.UtG0U.astype(cdtype)[None] + jnp.einsum(
         "ia,nij,jb->nab", U.astype(cdtype), CQQ, U.astype(cdtype))
-    iM = linalg.batched_inv(Mp)                             # (n, r, r)
-    detM = linalg.batched_det(Mp / (2.0 * np.pi))
+    detM, iM_s = linalg.batched_det_inv(Mp / (2.0 * np.pi))
+    iM = iM_s / jnp.asarray(2.0 * np.pi, dtype=real_dtype(cdtype))  # (n, r, r)
 
     # eqns. 79-84 with iM folded through U
     CqQU = CqQ @ U.astype(cdtype)                           # (n, d, r)
