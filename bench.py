@@ -39,7 +39,7 @@ def main():
     # recommended TPU configuration (no complex128 on TPU backends)
     dtype_name = os.environ.get("BENCH_DTYPE",
                                 "mixed" if on_tpu else "float64")
-    ntraj = int(os.environ.get("BENCH_NTRAJ", "8192"))
+    ntraj = int(os.environ.get("BENCH_NTRAJ", "32768"))
     nt = int(os.environ.get("BENCH_NT", "100"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -55,9 +55,11 @@ def main(argv=None):
         help="number of devices for the trajectory mesh "
              "(default 0 = all available)")
     parser_dynamics.add_argument(
-        "--f32", action="store_true",
-        help="propagate trajectories in float32 (prefactor determinants stay "
-             "complex64); faster on TPU, validate rates before production use")
+        "--precision", choices=["f64", "mixed", "f32"], default=None,
+        help="numerical mode: f64 (full double, CPU default), mixed "
+             "(f64 trajectories + f32 monodromy/complex algebra, TPU "
+             "default — complex128 is unsupported on TPU), f32 (fastest, "
+             "reduced accuracy)")
 
     parser_rates = subparsers.add_parser(
         "rates",
@@ -96,7 +98,7 @@ def main(argv=None):
                 if task["task"] == "dynamics":
                     run_semiclassical_dynamics(
                         task, num_devices=args.devices,
-                        use_f32=getattr(args, "f32", False))
+                        precision=getattr(args, "precision", None))
         elif args.command == "rates":
             assert args.json_input.endswith(".json"), (
                 "The argument for the command 'rates' should be the JSON "
@@ -213,8 +215,12 @@ def _build_potential(task):
     return potential, q0, p0, Gamma_0, en_zpt, adiabatic_gap, atomic_numbers
 
 
-def run_semiclassical_dynamics(task, num_devices=0, use_f32=False):
-    """Run one `dynamics` task (reference cli.py:171-476)."""
+def run_semiclassical_dynamics(task, num_devices=0, precision=None):
+    """Run one `dynamics` task (reference cli.py:171-476).
+
+    precision: "f64" | "mixed" | "f32" | None (None = f64 on CPU, mixed on
+    accelerators).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -288,7 +294,15 @@ def run_semiclassical_dynamics(task, num_devices=0, use_f32=False):
             int(np.random.SeedSequence().entropy % (2**63)))
     rep_keys = jax.random.split(root_key, num_repetitions)
 
-    dtype = jnp.float32 if use_f32 else jnp.float64
+    if precision is None:
+        precision = "f64" if jax.default_backend() == "cpu" else "mixed"
+    logger.info(f"  numerical precision                       : {precision}")
+    if precision == "mixed":
+        dtype, traj_dtype = jnp.float32, jnp.float64
+    elif precision == "f32":
+        dtype, traj_dtype = jnp.float32, jnp.float32
+    else:
+        dtype, traj_dtype = jnp.float64, jnp.float64
 
     calc_norm_every = task.get("calc_norm_every", 0)
 
@@ -297,9 +311,11 @@ def run_semiclassical_dynamics(task, num_devices=0, use_f32=False):
         if propagator_name == "WM":
             alpha = task.get("cell_width", 10000.0)
             propagator = WaltonManolopoulosPropagator(
-                Gamma_i, Gamma_t, alpha, alpha, dtype=dtype)
+                Gamma_i, Gamma_t, alpha, alpha, dtype=dtype,
+                traj_dtype=traj_dtype)
         else:
-            propagator = HermanKlukPropagator(Gamma_i, Gamma_t, dtype=dtype)
+            propagator = HermanKlukPropagator(Gamma_i, Gamma_t, dtype=dtype,
+                                              traj_dtype=traj_dtype)
 
         propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
                                       key=rep_keys[repetition],
