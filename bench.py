@@ -54,11 +54,16 @@ def main():
     en0 = 0.0
     dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode (dt*w ~ 0.003)
 
-    # warmup + compile
+    # warmup + compile with the SAME scan length (nt is a static argument —
+    # warming up with a different nt would leave the real compile inside the
+    # measured window)
+    import copy
+    snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
     t0 = time.time()
-    cauto, kic = prop.propagate(pot, dt, 2, energy0_es=en0,
+    cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
                                 check_energy=False)
     compile_s = time.time() - t0
+    prop.state, prop.trackers, prop.t = snapshot
 
     t0 = time.time()
     cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
