@@ -74,3 +74,31 @@ def test_batched_det_inv_complex():
     Aj = jnp.asarray(A)
     assert np.allclose(np.asarray(linalg.batched_det(Aj)), np.linalg.det(A))
     assert np.allclose(np.asarray(linalg.batched_inv(Aj)), np.linalg.inv(A))
+
+
+def test_schur_det_inv():
+    """Schur-recursion det/inv (the TPU path) vs LAPACK, incl. odd sizes."""
+    rng = np.random.default_rng(7)
+    for r in (1, 2, 3, 5, 12, 60):
+        A = (np.eye(r) + 0.5 * (rng.standard_normal((8, r, r))
+                                + 1j * rng.standard_normal((8, r, r)))
+             / np.sqrt(r))
+        Aj = jnp.asarray(A)
+        det, inv = linalg._det_inv_schur(Aj)
+        assert np.allclose(np.asarray(det), np.linalg.det(A),
+                           rtol=1e-10), r
+        assert np.allclose(np.asarray(inv), np.linalg.inv(A),
+                           atol=1e-10), r
+        det2 = linalg._det_schur(Aj)
+        assert np.allclose(np.asarray(det2), np.linalg.det(A), rtol=1e-10), r
+
+
+def test_lu_det_inv():
+    """Hand-written batched LU with partial pivoting vs LAPACK."""
+    rng = np.random.default_rng(8)
+    A = (rng.standard_normal((16, 9, 9))
+         + 1j * rng.standard_normal((16, 9, 9)) + 2 * np.eye(9))
+    Aj = jnp.asarray(A)
+    assert np.allclose(np.asarray(linalg._det_jax(Aj)), np.linalg.det(A))
+    assert np.allclose(np.asarray(linalg._inv_jax(Aj)), np.linalg.inv(A),
+                       atol=1e-10)
