@@ -343,8 +343,9 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     kic[done:done + seg] = k_seg
                     done += seg
             else:
-                cauto, kic = propagator.propagate(potential, dt, nt,
-                                                  energy0_es=en_zpt)
+                cauto, kic = propagator.propagate(
+                    potential, dt, nt, energy0_es=en_zpt,
+                    chunk=task.get("scan_chunk", 250))
 
             if np.isnan(cauto).any() or np.isnan(kic).any():
                 raise RuntimeError("encountered NaN's in correlations")

@@ -42,6 +42,7 @@ _DYNAMICS_SCHEMA = {
     "results": dict,
     "manual_seed": int,
     "calc_norm_every": int,
+    "scan_chunk": int,
     "export_initial": str,
     "export_final": str,
 }

@@ -213,9 +213,14 @@ _LINALG_IMPL = _os.environ.get("SEMI_LINALG_IMPL", "auto")
 
 
 def set_linalg_impl(name: str):
-    """Choose the batched det/inv backend: "xla", "jax" or "auto"."""
+    """Choose the batched det/inv backend: "xla", "jax", "pallas" or "auto".
+
+    "pallas" uses the in-VMEM LU determinant kernel (TPU; falls back to the
+    interpreter elsewhere) for `batched_det`; `batched_inv` stays on the
+    Schur path.
+    """
     global _LINALG_IMPL
-    assert name in ("xla", "jax", "auto"), name
+    assert name in ("xla", "jax", "pallas", "auto"), name
     _LINALG_IMPL = name
 
 
@@ -382,7 +387,11 @@ def batched_det_inv(A: jax.Array):
 
 def batched_det(A: jax.Array) -> jax.Array:
     """Determinant of a batch of small (complex) matrices, shape (n, r, r)."""
-    if _resolve_impl() == "jax":
+    impl = _resolve_impl()
+    if impl == "pallas":
+        from semiclassical_tpu.ops import pallas_batched_det
+        return pallas_batched_det(A)
+    if impl == "jax":
         return _det_schur(A)
     return jnp.linalg.det(A)
 

@@ -1,0 +1,132 @@
+# coding: utf-8
+"""Pallas TPU kernel: batched complex determinant via in-VMEM LU.
+
+The HK prefactor needs det of (n, r, r) complex64 matrices every step
+(r = active modes, n = trajectory batch). The XLA paths (LU custom call,
+or the Schur recursion in linalg.py) materialise many (n, r, r) temporaries
+in HBM; per-step cost is bandwidth-bound. Here each grid cell loads a tile
+of T trajectories' matrices into VMEM **once** (as separate re/im f32
+planes — the TPU has no native complex type) and performs the full
+Doolittle elimination in VMEM:
+
+* the trajectory axis is the vector axis — every elimination step is a
+  (T, r) / (T, r, r) vectorised VPU op across the tile;
+* no pivoting: the prefactor matrices are well-conditioned by construction
+  (identity at t = 0, smoothly evolving); correctness is cross-checked
+  against LAPACK in the tests and guarded by the C(0) = 1 assert at run
+  time;
+* the determinant accumulates as a complex product of the r pivots.
+
+HBM traffic: one read of the matrices, one (n,) write — the speed-of-light
+minimum for this op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is optional (absent on some CPU-only installs)
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+__all__ = ["pallas_batched_det"]
+
+
+def _lu_det_kernel(re_ref, im_ref, out_re_ref, out_im_ref):
+    T, r, _ = re_ref.shape
+    Are = re_ref[:]
+    Aim = im_ref[:]
+    det_re = jnp.ones((T, 1), jnp.float32)
+    det_im = jnp.zeros((T, 1), jnp.float32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)   # (1, r)
+
+    def body(k, carry):
+        Are, Aim, det_re, det_im = carry
+        # pivot column A[:, :, k] and row A[:, k, :]
+        col_re = jax.lax.dynamic_slice(Are, (0, 0, k), (T, r, 1))[:, :, 0]
+        col_im = jax.lax.dynamic_slice(Aim, (0, 0, k), (T, r, 1))[:, :, 0]
+        row_re = jax.lax.dynamic_slice(Are, (0, k, 0), (T, 1, r))[:, 0, :]
+        row_im = jax.lax.dynamic_slice(Aim, (0, k, 0), (T, 1, r))[:, 0, :]
+        piv_re = jax.lax.dynamic_slice(row_re, (0, k), (T, 1))    # (T, 1)
+        piv_im = jax.lax.dynamic_slice(row_im, (0, k), (T, 1))
+
+        # det *= pivot
+        det_re, det_im = (det_re * piv_re - det_im * piv_im,
+                          det_re * piv_im + det_im * piv_re)
+
+        # complex reciprocal of the pivot
+        denom = piv_re * piv_re + piv_im * piv_im
+        inv_re = piv_re / denom
+        inv_im = -piv_im / denom
+
+        # elimination factors for rows > k: f = A[:, i, k] / pivot
+        below = row_ids > k                                       # (1, r)
+        f_re = jnp.where(below, col_re * inv_re - col_im * inv_im, 0.0)
+        f_im = jnp.where(below, col_re * inv_im + col_im * inv_re, 0.0)
+
+        # row k restricted to columns > k
+        g_re = jnp.where(below, row_re, 0.0)
+        g_im = jnp.where(below, row_im, 0.0)
+
+        # rank-1 update A -= f (x) g  (complex outer product per trajectory)
+        upd_re = (f_re[:, :, None] * g_re[:, None, :]
+                  - f_im[:, :, None] * g_im[:, None, :])
+        upd_im = (f_re[:, :, None] * g_im[:, None, :]
+                  + f_im[:, :, None] * g_re[:, None, :])
+        return Are - upd_re, Aim - upd_im, det_re, det_im
+
+    Are, Aim, det_re, det_im = jax.lax.fori_loop(
+        0, r, body, (Are, Aim, det_re, det_im))
+    out_re_ref[:] = det_re
+    out_im_ref[:] = det_im
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pallas_batched_det(A: jax.Array, tile: int = 128) -> jax.Array:
+    """Determinant of a batch of complex64 matrices, shape (n, r, r).
+
+    n is padded to a multiple of `tile` with identity matrices (det = 1).
+    """
+    n, r, _ = A.shape
+    n_pad = ((n + tile - 1) // tile) * tile
+    Are = jnp.real(A).astype(jnp.float32)
+    Aim = jnp.imag(A).astype(jnp.float32)
+    if n_pad != n:
+        eye = jnp.broadcast_to(jnp.eye(r, dtype=jnp.float32),
+                               (n_pad - n, r, r))
+        Are = jnp.concatenate([Are, eye], axis=0)
+        Aim = jnp.concatenate([Aim, jnp.zeros((n_pad - n, r, r),
+                                              jnp.float32)], axis=0)
+
+    grid = (n_pad // tile,)
+    kwargs = {}
+    if _HAVE_PLTPU and jax.default_backend() == "tpu":
+        in_spec = lambda: pl.BlockSpec((tile, r, r), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+        out_spec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
+    else:
+        in_spec = lambda: pl.BlockSpec((tile, r, r), lambda i: (i, 0, 0))
+        out_spec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0))
+        kwargs["interpret"] = True
+
+    out_re, out_im = pl.pallas_call(
+        _lu_det_kernel,
+        grid=grid,
+        in_specs=[in_spec(), in_spec()],
+        out_specs=(out_spec(), out_spec()),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)),
+        **kwargs,
+    )(Are, Aim)
+
+    det = jax.lax.complex(out_re[:n, 0], out_im[:n, 0])
+    return det

@@ -489,24 +489,43 @@ class HermanKlukPropagator:
 
     # -- fast path ------------------------------------------------------------
 
-    def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True):
-        """Run `nt` steps in one jitted scan.
+    def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True,
+                  chunk=None):
+        """Run `nt` steps as jitted scans.
 
         Returns (autocorrelation (nt,), ic_correlation (nt,)) as numpy
         arrays sampled at t0, t0 + dt, ..., t0 + (nt-1) dt; the internal
         state advances by nt steps.
+
+        `chunk` splits the time loop into scans of at most `chunk` steps
+        with a host sync in between. Besides bounding device memory for the
+        stacked outputs, this keeps single XLA executions short — relevant
+        for remote/tunneled TPU runtimes whose watchdogs kill very long
+        uninterrupted programs.
         """
         self._require_nacq(potential)
         t_start = self.t
-        carry, (cauto, kic, energies) = self._scan(potential, dt, nt)
-        self._store_scan_carry(carry)
+        if chunk is None or chunk >= nt:
+            segments = [nt]
+        else:
+            segments = [chunk] * (nt // chunk)
+            if nt % chunk:
+                segments.append(nt % chunk)
+        cauto_parts, kic_parts, energy_parts = [], [], []
+        for seg in segments:
+            carry, (cauto, kic, energies) = self._scan(potential, dt, seg)
+            self._store_scan_carry(carry)
+            cauto_parts.append(from_device(cauto))
+            kic_parts.append(from_device(kic))
+            energy_parts.append(np.asarray(energies))
+        cauto = np.concatenate(cauto_parts)
+        kic = np.concatenate(kic_parts)
         if check_energy:
-            check_energy_conservation(energies)
+            check_energy_conservation(np.concatenate(energy_parts))
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
         scale = self._bc.weight_scale
-        return (from_device(cauto) * scale * phase,
-                from_device(kic) * scale * phase)
+        return cauto * scale * phase, kic * scale * phase
 
     # -- granular (reference-shaped) API --------------------------------------
 
