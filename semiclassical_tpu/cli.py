@@ -345,7 +345,7 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             else:
                 cauto, kic = propagator.propagate(
                     potential, dt, nt, energy0_es=en_zpt,
-                    chunk=task.get("scan_chunk", 250))
+                    chunk=task.get("scan_chunk", 100))
 
             if np.isnan(cauto).any() or np.isnan(kic).any():
                 raise RuntimeError("encountered NaN's in correlations")
