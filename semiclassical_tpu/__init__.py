@@ -41,4 +41,11 @@ import jax as _jax
 # rounding). Enable x64 at import; individual arrays may still be float32.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to one-pass bf16 multiplication (8 mantissa bits,
+# ~4e-3 relative error per element) — catastrophic for the semiclassical
+# prefactor determinants, whose 60x60 products amplify it to percent level.
+# "highest" forces true-f32 (multi-pass) matmuls everywhere; hot paths that
+# can tolerate less are annotated locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from semiclassical_tpu import units  # noqa: E402,F401
