@@ -50,13 +50,15 @@ def _lu_det_kernel(re_ref, im_ref, out_re_ref, out_im_ref):
 
     def body(k, carry):
         Are, Aim, det_re, det_im = carry
-        # pivot column A[:, :, k] and row A[:, k, :]
-        col_re = jax.lax.dynamic_slice(Are, (0, 0, k), (T, r, 1))[:, :, 0]
-        col_im = jax.lax.dynamic_slice(Aim, (0, 0, k), (T, r, 1))[:, :, 0]
-        row_re = jax.lax.dynamic_slice(Are, (0, k, 0), (T, 1, r))[:, 0, :]
-        row_im = jax.lax.dynamic_slice(Aim, (0, k, 0), (T, 1, r))[:, 0, :]
-        piv_re = jax.lax.dynamic_slice(row_re, (0, k), (T, 1))    # (T, 1)
-        piv_im = jax.lax.dynamic_slice(row_im, (0, k), (T, 1))
+        # Mosaic has no dynamic_slice on values: extract pivot column
+        # A[:, :, k] and row A[:, k, :] by one-hot contraction (matvecs)
+        onehot = (row_ids == k).astype(jnp.float32)               # (1, r)
+        col_re = jnp.einsum("tij,xj->ti", Are, onehot)
+        col_im = jnp.einsum("tij,xj->ti", Aim, onehot)
+        row_re = jnp.einsum("tij,xi->tj", Are, onehot)
+        row_im = jnp.einsum("tij,xi->tj", Aim, onehot)
+        piv_re = jnp.sum(row_re * onehot, axis=1, keepdims=True)  # (T, 1)
+        piv_im = jnp.sum(row_im * onehot, axis=1, keepdims=True)
 
         # det *= pivot
         det_re, det_im = (det_re * piv_re - det_im * piv_im,
