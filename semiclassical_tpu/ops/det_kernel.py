@@ -19,6 +19,14 @@ Doolittle elimination in VMEM:
 
 HBM traffic: one read of the matrices, one (n,) write — the speed-of-light
 minimum for this op.
+
+KNOWN ISSUE (round 1): the axon image's Mosaic build crashes on any 3D
+in-kernel reduction (`tpu_compile_helper` exits on signal even for
+`jnp.sum(a, axis=(1, 2))` over a (128, 8, 8) VMEM block; plain 3D copies
+work). The kernel is therefore validated in interpreter mode and kept as
+the foundation for a newer toolchain; the production TPU determinant is the
+matmul-only Schur recursion in linalg.py (`SEMI_LINALG_IMPL=jax`, the
+auto-selected default on TPU).
 """
 
 from __future__ import annotations
@@ -52,7 +60,9 @@ def _lu_det_kernel(re_ref, im_ref, out_re_ref, out_im_ref):
         Are, Aim, det_re, det_im = carry
         # Mosaic has no dynamic_slice on values: extract pivot column
         # A[:, :, k] and row A[:, k, :] by one-hot contraction (matvecs)
-        onehot = (row_ids == k).astype(jnp.float32)               # (1, r)
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        onehot = jnp.where(row_ids == k, one, zero)            # (1, r)
         col_re = jnp.einsum("tij,xj->ti", Are, onehot)
         col_im = jnp.einsum("tij,xj->ti", Aim, onehot)
         row_re = jnp.einsum("tij,xi->tj", Are, onehot)
@@ -71,12 +81,12 @@ def _lu_det_kernel(re_ref, im_ref, out_re_ref, out_im_ref):
 
         # elimination factors for rows > k: f = A[:, i, k] / pivot
         below = row_ids > k                                       # (1, r)
-        f_re = jnp.where(below, col_re * inv_re - col_im * inv_im, 0.0)
-        f_im = jnp.where(below, col_re * inv_im + col_im * inv_re, 0.0)
+        f_re = jnp.where(below, col_re * inv_re - col_im * inv_im, zero)
+        f_im = jnp.where(below, col_re * inv_im + col_im * inv_re, zero)
 
         # row k restricted to columns > k
-        g_re = jnp.where(below, row_re, 0.0)
-        g_im = jnp.where(below, row_im, 0.0)
+        g_re = jnp.where(below, row_re, zero)
+        g_im = jnp.where(below, row_im, zero)
 
         # rank-1 update A -= f (x) g  (complex outer product per trajectory)
         upd_re = (f_re[:, :, None] * g_re[:, None, :]
@@ -85,10 +95,14 @@ def _lu_det_kernel(re_ref, im_ref, out_re_ref, out_im_ref):
                   + f_im[:, :, None] * g_re[:, None, :])
         return Are - upd_re, Aim - upd_im, det_re, det_im
 
+    # int32 loop bounds: with x64 enabled a Python-int bound makes the
+    # loop index int64, which Mosaic can only emulate (and the emulation
+    # recurses); the iota comparison needs an int32 index
     Are, Aim, det_re, det_im = jax.lax.fori_loop(
-        0, r, body, (Are, Aim, det_re, det_im))
-    out_re_ref[:] = det_re
-    out_im_ref[:] = det_im
+        jnp.int32(0), jnp.int32(r), body, (Are, Aim, det_re, det_im))
+    # lane-128-wide output block (Mosaic cannot legalize 1-wide returns)
+    out_re_ref[:] = jnp.broadcast_to(det_re, out_re_ref.shape)
+    out_im_ref[:] = jnp.broadcast_to(det_im, out_im_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -110,14 +124,15 @@ def pallas_batched_det(A: jax.Array, tile: int = 128) -> jax.Array:
 
     grid = (n_pad // tile,)
     kwargs = {}
+    LANES = 128
     if _HAVE_PLTPU and jax.default_backend() == "tpu":
         in_spec = lambda: pl.BlockSpec((tile, r, r), lambda i: (i, 0, 0),
                                        memory_space=pltpu.VMEM)
-        out_spec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0),
+        out_spec = lambda: pl.BlockSpec((tile, LANES), lambda i: (i, 0),
                                         memory_space=pltpu.VMEM)
     else:
         in_spec = lambda: pl.BlockSpec((tile, r, r), lambda i: (i, 0, 0))
-        out_spec = lambda: pl.BlockSpec((tile, 1), lambda i: (i, 0))
+        out_spec = lambda: pl.BlockSpec((tile, LANES), lambda i: (i, 0))
         kwargs["interpret"] = True
 
     out_re, out_im = pl.pallas_call(
@@ -125,8 +140,8 @@ def pallas_batched_det(A: jax.Array, tile: int = 128) -> jax.Array:
         grid=grid,
         in_specs=[in_spec(), in_spec()],
         out_specs=(out_spec(), out_spec()),
-        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32)),
         **kwargs,
     )(Are, Aim)
 
