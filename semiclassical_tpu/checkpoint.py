@@ -18,7 +18,6 @@ multi-host settings).
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np

@@ -37,7 +37,6 @@ from jax import lax
 from semiclassical_tpu import linalg
 from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
                                       times_i, to_device)
-from semiclassical_tpu.coherent import overlap_matrix  # noqa: F401 (norm)
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.hk import (
     BatchConstants,
