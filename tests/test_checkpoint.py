@@ -52,3 +52,46 @@ def test_resume_matches_uninterrupted(tmp_path):
 
     np.testing.assert_allclose(cauto_c, cauto_a, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(kic_c, kic_a, rtol=1e-12, atol=1e-14)
+
+
+def test_chunked_propagation_matches_single_scan():
+    """propagate(chunk=k) must reproduce the single-scan result exactly —
+    including the branch-cut sign trackers carried across chunk borders."""
+    pot = NonHarmonicPotential.create()
+    dt, nt, en0 = 0.02, 30, 0.5
+
+    prop_a = _make_prop(pot)
+    ca, ka = prop_a.propagate(pot, dt, nt, energy0_es=en0)
+
+    prop_b = _make_prop(pot)
+    cb, kb = prop_b.propagate(pot, dt, nt, energy0_es=en0, chunk=7)
+
+    np.testing.assert_allclose(cb, ca, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(kb, ka, rtol=1e-12, atol=1e-14)
+
+
+def test_wm_checkpoint_roundtrip(tmp_path):
+    from semiclassical_tpu.checkpoint import (
+        load_propagator_state,
+        save_propagator_state,
+    )
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+
+    pot = NonHarmonicPotential.create()
+    Gi = np.array([[2 * 2.5]])
+    G0 = np.array([[1.0]])
+
+    prop = WaltonManolopoulosPropagator(Gi, Gi, 100.0, 100.0)
+    prop.initial_conditions(np.array([7.3]), np.array([0.0]), G0,
+                            ntraj=500, key=2, potential=pot)
+    prop.propagate(pot, 0.02, 10, energy0_es=0.5)
+    ckpt = str(tmp_path / "wm.npz")
+    save_propagator_state(ckpt, prop)
+    ref_c = prop.autocorrelation(energy0_es=0.5)
+
+    prop2 = WaltonManolopoulosPropagator(Gi, Gi, 100.0, 100.0)
+    prop2.initial_conditions(np.array([7.3]), np.array([0.0]), G0,
+                             ntraj=500, key=77, potential=pot)
+    load_propagator_state(ckpt, prop2)
+    assert prop2.t == prop.t
+    assert abs(prop2.autocorrelation(energy0_es=0.5) - ref_c) < 1e-12
