@@ -31,6 +31,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: remote TPU compiles cost 30-300 s each
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     # complex128 is not supported on TPU backends (the prefactor
     # determinants are complex) -> default to float32/complex64 on TPU,
     # float64 elsewhere; override with BENCH_DTYPE.
