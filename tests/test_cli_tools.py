@@ -99,3 +99,23 @@ def test_phase_timer_and_metrics():
     assert not m.nan_detected
     assert abs(m.energy_drift_max - 0.0001) < 1e-12
     assert "energy_drift_max" in m.to_json()
+
+
+def test_cli_plot_smoke(results_file, monkeypatch):
+    """`semi plot` renders without a display (Agg backend)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    monkeypatch.setattr(plt, "show", lambda: None)
+    cli.calculate_rates({"task": "rates"})
+    cli._plot_correlation_functions([results_file])
+    plt.close("all")
+
+
+def test_console_entry_point():
+    import subprocess
+    out = subprocess.run(["semi", "--version"], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0
+    assert "semi" in out.stdout
