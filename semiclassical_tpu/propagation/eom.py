@@ -70,14 +70,15 @@ def rk4_step(state: TrajState, potential, dt):
     axpy = lambda y, a, k: jax.tree.map(
         lambda yi, ki: yi + jnp.asarray(a).astype(yi.dtype) * ki, y, k)
 
-    k1, en = state_derivative(state, potential)
-    k2, _ = state_derivative(axpy(state, 0.5 * dt, k1), potential)
-    k3, _ = state_derivative(axpy(state, 0.5 * dt, k2), potential)
-    k4, _ = state_derivative(axpy(state, dt, k3), potential)
-
-    new_state = jax.tree.map(
-        lambda y, a, b, c, d: y + jnp.asarray(dt / 6.0).astype(y.dtype)
-        * (a + 2 * b + 2 * c + d),
-        state, k1, k2, k3, k4,
-    )
+    # sequential accumulation: at most 4 state-sized trees are live at any
+    # point (y, acc, stage point, current k) instead of y + k1..k4 — the
+    # monodromy blocks dominate device memory at large trajectory batches
+    k, en = state_derivative(state, potential)
+    acc = axpy(state, dt / 6.0, k)            # y + dt/6 k1
+    k, _ = state_derivative(axpy(state, 0.5 * dt, k), potential)
+    acc = axpy(acc, dt / 3.0, k)              # + dt/3 k2
+    k, _ = state_derivative(axpy(state, 0.5 * dt, k), potential)
+    acc = axpy(acc, dt / 3.0, k)              # + dt/3 k3
+    k, _ = state_derivative(axpy(state, dt, k), potential)
+    new_state = axpy(acc, dt / 6.0, k)        # + dt/6 k4
     return new_state, en
