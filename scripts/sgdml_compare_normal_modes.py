@@ -63,9 +63,6 @@ def main(argv):
         if float(jnp.linalg.norm(g[0])) < 1e-8:
             break
 
-    _, _, hess_ml = (np.asarray(t[0]) if t.ndim > 1 else t
-                     for t in gdml_forward(potential.gdml, r[None, :],
-                                           order=2))
     hess_ml = np.asarray(gdml_forward(potential.gdml, r[None, :],
                                       order=2)[2][0])
 

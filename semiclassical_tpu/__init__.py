@@ -20,7 +20,6 @@ The package is organised as:
 
   units          atomic units and conversion factors
   linalg         host-side symmetric sqrtm/pseudo-inverse + batched device det/inv
-  grids          time/space grid helpers
   coherent       coherent-state overlaps and wavefunctions
   sampling       Monte-Carlo initial conditions (jax.random)
   potentials/    PES protocol + model, molecular-harmonic and sGDML potentials

@@ -23,6 +23,8 @@ import os
 import numpy as np
 import jax
 
+from semiclassical_tpu.linalg import from_device, to_device
+
 __all__ = ["save_propagator_state", "load_propagator_state",
            "CheckpointedRun"]
 
@@ -32,7 +34,9 @@ def _flatten_with_paths(tree):
     out = {}
     for path, leaf in leaves_with_paths:
         key = "/".join(str(p) for p in path)
-        out[key] = np.asarray(leaf)
+        # complex host<->device transfers are unimplemented on the TPU
+        # backend — from_device fetches complex leaves as two real planes
+        out[key] = from_device(leaf)
     return out
 
 
@@ -80,7 +84,9 @@ def load_propagator_state(filename, propagator):
             assert arr.shape == leaf.shape, (
                 f"checkpoint shape mismatch for {key}: "
                 f"{arr.shape} vs {leaf.shape}")
-            new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+            # to_device ships complex leaves as two real arrays and
+            # recombines them on device (TPU contract, see linalg.py)
+            new_leaves.append(to_device(arr, leaf.dtype))
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(tree), new_leaves)
 
@@ -108,7 +114,7 @@ class CheckpointedRun:
     """
 
     def __init__(self, filename, propagator, potential, dt, nt,
-                 energy0_es=0.0, segment=500):
+                 energy0_es=0.0, segment=500, chunk=100):
         self.filename = filename
         self.propagator = propagator
         self.potential = potential
@@ -116,6 +122,9 @@ class CheckpointedRun:
         self.nt = nt
         self.en0 = energy0_es
         self.segment = segment
+        # forwarded to propagate(): bounds single XLA executions so remote
+        # TPU watchdogs don't kill a long uninterrupted segment
+        self.chunk = chunk
 
     def run(self):
         nt = self.nt
@@ -131,7 +140,8 @@ class CheckpointedRun:
         while done < nt:
             seg = min(self.segment, nt - done)
             c_seg, k_seg = self.propagator.propagate(
-                self.potential, self.dt, seg, energy0_es=self.en0)
+                self.potential, self.dt, seg, energy0_es=self.en0,
+                chunk=self.chunk)
             cauto[done:done + seg] = c_seg
             kic[done:done + seg] = k_seg
             done += seg

@@ -40,6 +40,7 @@ class FormattedCheckpointFile:
     def __init__(self, f):
         self.filename = getattr(f, "name", "<stream>")
         self.data = OrderedDict()
+        self.bad_fields = set()  # fields that failed to parse
         acc = ""           # accumulates continuation lines of the current field
         field = None
         dtype = None
@@ -52,13 +53,18 @@ class FormattedCheckpointFile:
                 self.data[field] = acc
                 return
             try:
-                array = np.fromstring(acc, dtype=dtype, sep=" ")
+                tokens = acc.split()
+                array = np.fromiter((dtype(t) for t in tokens), dtype=dtype,
+                                    count=len(tokens))
                 assert len(array) == count
                 self.data[field] = array
             except (ValueError, AssertionError) as err:
+                # remember the failure: accessing a corrupt field later must
+                # be an error, not a silently-zero Hessian
                 logger.warning(
                     f"problem reading field `{field}` in {self.filename}: {err}"
                 )
+                self.bad_fields.add(field)
                 self.data[field] = np.zeros(count, dtype=dtype)
 
         for line_number, line in enumerate(f.readlines(), start=1):
@@ -97,6 +103,11 @@ class FormattedCheckpointFile:
         flush()
 
     def __getitem__(self, key):
+        if key in self.bad_fields:
+            raise ValueError(
+                f"field `{key}` in {self.filename} failed to parse "
+                "(see warning above); refusing to return zero-filled data"
+            )
         return self.data[key]
 
     def __contains__(self, key):

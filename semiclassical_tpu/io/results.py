@@ -83,7 +83,11 @@ def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new):
     data["trajectories"] = ntraj_tot
     # rates are no longer up to date
     data.pop("ic_rate", None)
-    np.savez(filename, **data)
+    # atomic replace: this file is the coarse-grained recovery unit — a
+    # crash mid-write must not corrupt the accumulator
+    tmp = filename + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, filename)
     return ntraj_tot
 
 

@@ -39,9 +39,12 @@ __all__ = [
     "is_symmetric_non_negative",
     "pseudo_inverse",
     "pseudo_det",
+    "pseudo_logdet",
     "nonzero_subspace",
     "batched_det",
     "batched_inv",
+    "batched_det_inv",
+    "set_linalg_impl",
 ]
 
 

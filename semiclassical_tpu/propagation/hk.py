@@ -584,3 +584,11 @@ class HermanKlukPropagator:
 
     def classical_action(self):
         return self.state.S
+
+    def monodromy_matrices(self):
+        """Current monodromy blocks (Mqq, Mqp, Mpq, Mpp), each (n, d, d)
+        with the trajectory axis leading (reference propagators.py:927-935
+        returns (d, d, n) — the reference's trailing trajectory axis is this
+        framework's leading one everywhere)."""
+        s = self.state
+        return s.Mqq, s.Mqp, s.Mpq, s.Mpp

@@ -423,10 +423,14 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
         dj_ = dj[None, :, :]
         CQQj_ = CQQj[None, :, :, :]
         Dij = jnp.conj(CQQi)[:, None] + CQQj_                # (bi, bj, d, d)
-        # project to the non-zero subspace before inverting
+        # project to the non-zero subspace before inverting; route through
+        # linalg.batched_det_inv — XLA's complex LU is numerically broken on
+        # the TPU backend (see linalg.py), and the Schur path handles the
+        # (bi, bj) leading batch dims directly
         DijU = jnp.einsum("ia,mnij,jb->mnab", U, Dij, U)
-        iDij = jnp.linalg.inv(DijU)
-        detDij = jnp.linalg.det(DijU / (2.0 * np.pi))
+        two_pi = jnp.asarray(2.0 * np.pi, dtype=real_dtype(cdtype))
+        detDij, iDij_s = linalg.batched_det_inv(DijU / two_pi)
+        iDij = iDij_s / two_pi
         bij = (jnp.einsum("nab,mnb->mna", CQQj, dQij) + di_ + dj_)  # (bi,bj,d)
         bijU = jnp.einsum("mna,ab->mnb", bij, U)
         olap = (1.0 / jnp.sqrt(detDij)) * jnp.exp(

@@ -43,7 +43,7 @@ class SamplingParams:
 
     z0: jnp.ndarray       # (2 d,)   phase-space center (q0, p0)
     iLz: jnp.ndarray      # (2 rank, 2 d)  pseudo-inverse Lz^{-1}
-    detLz: jnp.ndarray    # ()       pseudo-determinant of Lz
+    log_detLz: jnp.ndarray  # () f64  log pseudo-determinant of Lz
     U: jnp.ndarray        # (d, rank) non-zero subspace of Gamma_i + Gamma_0
     iGi0: jnp.ndarray     # (d, d)   pseudo-inverse of Gamma_i + Gamma_0
     dim: int
@@ -82,16 +82,19 @@ class SamplingParams:
         )
         rank = int(np.count_nonzero(nzp))
 
-        # blockdiag pseudo-inverse and pseudo-determinant of Lz
+        # blockdiag pseudo-inverse and log pseudo-determinant of Lz — kept
+        # in log space: the product of per-mode ratios under/overflows the
+        # trajectory dtype for Gamma_i != Gamma_0 in many dimensions
         iLz = np.zeros((2 * rank, 2 * d))
         iLz[:rank, :d] = iLq
         iLz[rank:, d:] = iLp
-        detLz = float(np.prod(2.0 * np.sqrt(wq[nzq] / wp[nzp])))
+        log_detLz = float(np.sum(
+            np.log(2.0) + 0.5 * (np.log(wq[nzq]) - np.log(wp[nzp]))))
 
         return SamplingParams(
             z0=jnp.asarray(np.concatenate([q0, p0]), dtype=dtype),
             iLz=jnp.asarray(iLz, dtype=dtype),
-            detLz=jnp.asarray(detLz, dtype=dtype),
+            log_detLz=jnp.asarray(log_detLz, dtype=jnp.float64),
             U=jnp.asarray(U, dtype=dtype),
             iGi0=jnp.asarray(iGi0, dtype=dtype),
             dim=d,
@@ -124,7 +127,7 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
     z = params.z0[None, :] + x @ params.iLz                 # (n, 2 d)
     q, p = z[:, :d], z[:, d:]
     x64 = x.astype(jnp.float64)
-    log_prob = (jnp.log(params.detLz.astype(jnp.float64))
+    log_prob = (params.log_detLz
                 - d * np.log(2.0 * np.pi)
                 - 0.5 * jnp.sum(x64 * x64, axis=1))
     return q, p, log_prob

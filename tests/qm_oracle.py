@@ -51,6 +51,31 @@ def split_operator_correlations(v_grid, x, times, psi0, substeps=20,
     return corr
 
 
+def split_operator_wavefunctions(v_grid, x, times, psi0, save_steps,
+                                 substeps=20, mass=1.0):
+    """Propagate psi0 and return {step: psi(x, t_step)} for the requested
+    output steps (same scheme as split_operator_correlations)."""
+    nx = x.shape[0]
+    dx = x[1] - x[0]
+    nt = times.shape[0]
+    dt = times[1] - times[0]
+    save_steps = set(int(t) for t in save_steps)
+
+    k = 2.0 * np.pi * fft.fftfreq(nx, d=dx)
+    expT = np.exp(-(1.0j / hbar) * (hbar * k) ** 2 / (2.0 * mass)
+                  * (dt / substeps))
+    expV = np.exp(-(1.0j / hbar) * v_grid * (dt / substeps))
+
+    psi = psi0.astype(complex).copy()
+    out = {}
+    for t in range(nt):
+        if t in save_steps:
+            out[t] = psi.copy()
+        for _ in range(substeps):
+            psi = expV * fft.ifft(expT * fft.fft(psi))
+    return out
+
+
 def gaussian_wavepacket(x, x0, p0, alpha):
     """Normalised Gaussian (2 alpha / pi)^{1/4} exp(-alpha (x-x0)^2 + i p0 (x-x0))."""
     return ((2 * alpha / np.pi) ** 0.25

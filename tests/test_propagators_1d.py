@@ -21,6 +21,7 @@ from qm_oracle import (
     gaussian_wavepacket,
     momentum_operator,
     split_operator_correlations,
+    split_operator_wavefunctions,
 )
 
 NTRAJ = 20000
@@ -58,6 +59,7 @@ def setup_1d():
 
     return {
         "times": times, "dt": dt, "nt": nt,
+        "x": x, "v": v, "phi0": phi0,
         "autocorrelation_qm": autocorrelation_qm,
         "ic_correlation_qm": ic_correlation_qm,
         "potential": NonHarmonicPotential.create(),
@@ -95,6 +97,73 @@ def test_walton_manolopoulos_vs_qm(setup_1d):
     assert np.allclose(cauto, s["autocorrelation_qm"], rtol=0.05, atol=0.05)
     assert np.allclose(kic, s["ic_correlation_qm"], rtol=0.1, atol=0.1 * np.abs(s["ic_correlation_qm"]).max())
     assert abs(prop.norm() - 1.0) < 0.05
+
+
+def _wavefunction_evolution_errors(prop, s, save_steps):
+    """Propagate with the granular API and compare psi(x, t) on a subgrid
+    against the split-operator wavefunction at the requested steps
+    (reference tests/test_HK_WM_1d.py:89-102 records exactly these
+    snapshots). Returns the L2 errors ||psi_SC - psi_QM|| per snapshot."""
+    stride = 10
+    x_sub = s["x"][::stride][:, None]
+    dx_sub = x_sub[1, 0] - x_sub[0, 0]
+    psi_qm = split_operator_wavefunctions(s["v"], s["x"], s["times"],
+                                          s["phi0"], save_steps)
+    prop.initial_conditions(s["q0"], s["p0"], s["Gamma_0"], ntraj=NTRAJ,
+                            key=0, potential=s["potential"])
+    errors = []
+    prev = 0
+    for step in sorted(save_steps):
+        if step > prev:
+            prop.propagate(s["potential"], s["dt"], step - prev)
+            prev = step
+        psi_sc = prop.wavefunction(x_sub)
+        diff = psi_sc - psi_qm[step][::stride]
+        errors.append(float(np.sqrt(np.sum(np.abs(diff) ** 2) * dx_sub)))
+    return errors
+
+
+def test_hk_wavefunction_evolution_vs_qm(setup_1d):
+    """|psi_HK(x,t) - psi_QM(x,t)| stays small along the propagation —
+    the wavefunction itself, not just its norm at t=0."""
+    s = setup_1d
+    prop = HermanKlukPropagator(s["Gamma_i"], s["Gamma_i"])
+    save = [0, s["nt"] // 3, 2 * s["nt"] // 3, s["nt"] - 1]
+    errors = _wavefunction_evolution_errors(prop, s, save)
+    # ||psi|| = 1, so these are relative errors
+    assert max(errors) < 0.1, errors
+
+
+def test_wm_wavefunction_evolution_vs_qm(setup_1d):
+    """Same gate for the WM wavefunction (wm_wavefunction path)."""
+    s = setup_1d
+    prop = WaltonManolopoulosPropagator(s["Gamma_i"], s["Gamma_i"],
+                                        alpha=100.0, beta=100.0)
+    save = [0, s["nt"] // 3, 2 * s["nt"] // 3, s["nt"] - 1]
+    errors = _wavefunction_evolution_errors(prop, s, save)
+    assert max(errors) < 0.1, errors
+
+
+def test_wm_norm_impl_cross_check(setup_1d):
+    """wm_norm must give the same value on the Schur ('jax') path used on
+    TPU as on the LAPACK ('xla') path — the TPU numerics contract forbids
+    jnp.linalg.det/inv on complex batches (VERDICT round 1, weak #3)."""
+    from semiclassical_tpu import linalg as L
+
+    s = setup_1d
+    prop = WaltonManolopoulosPropagator(s["Gamma_i"], s["Gamma_i"],
+                                        alpha=100.0, beta=100.0)
+    prop.initial_conditions(s["q0"], s["p0"], s["Gamma_0"], ntraj=512,
+                            key=3, potential=s["potential"])
+    prop.propagate(s["potential"], s["dt"], 5)
+    try:
+        L.set_linalg_impl("xla")
+        n_xla = prop.norm()
+        L.set_linalg_impl("jax")
+        n_jax = prop.norm()
+    finally:
+        L.set_linalg_impl("auto")
+    assert abs(n_xla - n_jax) < 1e-8 * max(1.0, abs(n_xla))
 
 
 def test_hk_wavefunction_norm_on_grid(setup_1d):

@@ -45,7 +45,7 @@ def test_wm_sharded_matches_single_device():
 
 
 def test_sharded_multimode():
-    """5-mode Morse with a zero-frequency... no — with full rank, sharded."""
+    """5-mode full-rank Morse: sharded and single-device runs must agree."""
     rng = np.random.default_rng(0)
     omega = rng.uniform(0.005, 0.02, size=5)
     chi = np.full(5, 0.02)
