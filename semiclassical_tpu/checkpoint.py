@@ -26,7 +26,7 @@ import jax
 from semiclassical_tpu.linalg import from_device, to_device
 
 __all__ = ["save_propagator_state", "load_propagator_state",
-           "CheckpointedRun"]
+           "peek_checkpoint", "CheckpointedRun"]
 
 
 def _flatten_with_paths(tree):
@@ -64,6 +64,14 @@ def save_propagator_state(filename, propagator, partial=None):
     tmp = filename + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, filename)  # atomic on POSIX
+
+
+def peek_checkpoint(filename):
+    """Read only the `partial` metadata of a checkpoint (no propagator
+    needed) — used by the CLI to decide which repetition to resume."""
+    data = np.load(filename)
+    return {key[len("partial/"):]: data[key] for key in data.files
+            if key.startswith("partial/")}
 
 
 def load_propagator_state(filename, propagator):
@@ -114,7 +122,8 @@ class CheckpointedRun:
     """
 
     def __init__(self, filename, propagator, potential, dt, nt,
-                 energy0_es=0.0, segment=500, chunk=100):
+                 energy0_es=0.0, segment=500, chunk=100, repetition=0,
+                 progress=None):
         self.filename = filename
         self.propagator = propagator
         self.potential = potential
@@ -125,6 +134,13 @@ class CheckpointedRun:
         # forwarded to propagate(): bounds single XLA executions so remote
         # TPU watchdogs don't kill a long uninterrupted segment
         self.chunk = chunk
+        # repetition tag: a checkpoint written during a *different*
+        # repetition of the CLI's batch loop must not be resumed into this
+        # one (its state belongs to other initial conditions)
+        self.repetition = repetition
+        # called after every completed segment with (steps_done, nt,
+        # cauto_segment)
+        self.progress = progress
 
     def run(self):
         nt = self.nt
@@ -132,11 +148,15 @@ class CheckpointedRun:
         kic = np.zeros(nt, dtype=complex)
         done = 0
         if os.path.exists(self.filename):
-            partial = load_propagator_state(self.filename, self.propagator)
-            if partial:
-                done = int(partial["steps_done"])
-                cauto[:done] = partial["cauto"][:done]
-                kic[:done] = partial["kic"][:done]
+            stored_rep = int(peek_checkpoint(self.filename)
+                             .get("repetition", 0))
+            if stored_rep == self.repetition:
+                partial = load_propagator_state(self.filename,
+                                                self.propagator)
+                if partial:
+                    done = int(partial["steps_done"])
+                    cauto[:done] = partial["cauto"][:done]
+                    kic[:done] = partial["kic"][:done]
         while done < nt:
             seg = min(self.segment, nt - done)
             c_seg, k_seg = self.propagator.propagate(
@@ -147,5 +167,8 @@ class CheckpointedRun:
             done += seg
             save_propagator_state(
                 self.filename, self.propagator,
-                partial={"cauto": cauto, "kic": kic, "steps_done": done})
+                partial={"cauto": cauto, "kic": kic, "steps_done": done,
+                         "repetition": self.repetition})
+            if self.progress is not None:
+                self.progress(done, nt, c_seg)
         return cauto, kic

@@ -281,8 +281,25 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             "Multiple runs with the same sequence of random numbers make no "
             "sense! Do not use `manual_seed` and `overwrite=False` at the "
             "same time")
+
+    # mid-batch checkpoint/resume (finer-grained than the reference's
+    # per-repetition npz accumulation, reference cli.py:453-476): with
+    # `checkpoint` set, each repetition snapshots its scan carry every
+    # `checkpoint_every` steps; a killed run loses at most one segment
+    ckpt_file = task.get("checkpoint", "")
+    ckpt_every = task.get("checkpoint_every", 500)
+    resume_rep = None
+    if ckpt_file and os.path.exists(ckpt_file):
+        from semiclassical_tpu.checkpoint import peek_checkpoint
+        meta = peek_checkpoint(ckpt_file)
+        resume_rep = int(meta.get("repetition", 0))
+        logger.info(f"found checkpoint '{ckpt_file}' at repetition "
+                    f"{resume_rep + 1}, step {int(meta['steps_done'])} — "
+                    "resuming (completed repetitions are already in "
+                    f"'{filename}')")
+
     init_results(filename, propagator_name, times, adiabatic_gap, en_zpt,
-                 overwrite=overwrite)
+                 overwrite=overwrite and resume_rep is None)
 
     seed = task.get("manual_seed", None)
     if seed is not None:
@@ -305,8 +322,12 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         dtype, traj_dtype = jnp.float64, jnp.float64
 
     calc_norm_every = task.get("calc_norm_every", 0)
+    assert not (ckpt_file and calc_norm_every > 0), (
+        "'checkpoint' and 'calc_norm_every' cannot be combined")
 
     for repetition in range(num_repetitions):
+        if resume_rep is not None and repetition < resume_rep:
+            continue
         logger.info(f"*** Repetition {repetition + 1} ***")
         if propagator_name == "WM":
             alpha = task.get("cell_width", 10000.0)
@@ -323,6 +344,11 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
 
         _export_trajectories(task.get("export_initial", ""), atomic_numbers,
                              propagator, append=(repetition > 0))
+
+        def _progress(done, total, cauto_seg):
+            t_fs = times[min(done, nt) - 1] * units.autime_to_fs
+            logger.info(f" time/fs= {t_fs:9.4f}  step {done}/{total}  "
+                        f"|C(t)|= {np.abs(cauto_seg[-1]):.6f}")
 
         try:
             if calc_norm_every > 0:
@@ -342,10 +368,18 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     cauto[done:done + seg] = c_seg
                     kic[done:done + seg] = k_seg
                     done += seg
+            elif ckpt_file:
+                from semiclassical_tpu.checkpoint import CheckpointedRun
+                run = CheckpointedRun(
+                    ckpt_file, propagator, potential, dt=dt, nt=nt,
+                    energy0_es=en_zpt, segment=ckpt_every,
+                    chunk=task.get("scan_chunk", 100),
+                    repetition=repetition, progress=_progress)
+                cauto, kic = run.run()
             else:
                 cauto, kic = propagator.propagate(
                     potential, dt, nt, energy0_es=en_zpt,
-                    chunk=task.get("scan_chunk", 100))
+                    chunk=task.get("scan_chunk", 100), progress=_progress)
 
             if np.isnan(cauto).any() or np.isnan(kic).any():
                 raise RuntimeError("encountered NaN's in correlations")
@@ -362,6 +396,17 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         _export_trajectories(task.get("export_final", ""), atomic_numbers,
                              propagator, append=(repetition > 0))
 
+        # structured per-repetition diagnostics (SURVEY §5 observability)
+        from semiclassical_tpu.profiling import RunMetrics
+        metrics = RunMetrics.from_run(
+            getattr(propagator, "last_energies", np.zeros(0)), cauto, kic)
+        metrics.log()
+
+        if ckpt_file and os.path.exists(ckpt_file):
+            # remove the checkpoint *before* accumulating: a kill between
+            # the two loses this batch (the reference's recovery granularity)
+            # but can never double-count it on resume
+            os.remove(ckpt_file)
         total = accumulate_results(filename, cauto, kic, propagator.ntraj)
         logger.info(f"  accumulated trajectories: {total}")
 

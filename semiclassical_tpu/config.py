@@ -43,6 +43,8 @@ _DYNAMICS_SCHEMA = {
     "manual_seed": int,
     "calc_norm_every": int,
     "scan_chunk": int,
+    "checkpoint": str,            # mid-batch checkpoint file ("" = off)
+    "checkpoint_every": int,      # steps between checkpoint snapshots
     "export_initial": str,
     "export_final": str,
 }

@@ -490,7 +490,7 @@ class HermanKlukPropagator:
     # -- fast path ------------------------------------------------------------
 
     def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True,
-                  chunk=None):
+                  chunk=None, progress=None):
         """Run `nt` steps as jitted scans.
 
         Returns (autocorrelation (nt,), ic_correlation (nt,)) as numpy
@@ -502,6 +502,13 @@ class HermanKlukPropagator:
         stacked outputs, this keeps single XLA executions short — relevant
         for remote/tunneled TPU runtimes whose watchdogs kill very long
         uninterrupted programs.
+
+        `progress`, if given, is called after every chunk with
+        (steps_done, nt, cauto_chunk) — the live readout of long runs
+        (reference cli.py:400,432-433 shows a per-step tqdm; here one jitted
+        scan covers a whole chunk, so the natural reporting unit is the
+        chunk). The per-step batch-mean energies of the run are kept in
+        `self.last_energies` for metrics.
         """
         self._require_nacq(potential)
         t_start = self.t
@@ -512,16 +519,21 @@ class HermanKlukPropagator:
             if nt % chunk:
                 segments.append(nt % chunk)
         cauto_parts, kic_parts, energy_parts = [], [], []
+        done = 0
         for seg in segments:
             carry, (cauto, kic, energies) = self._scan(potential, dt, seg)
             self._store_scan_carry(carry)
             cauto_parts.append(from_device(cauto))
             kic_parts.append(from_device(kic))
             energy_parts.append(np.asarray(energies))
+            done += seg
+            if progress is not None:
+                progress(done, nt, cauto_parts[-1] * self._bc.weight_scale)
         cauto = np.concatenate(cauto_parts)
         kic = np.concatenate(kic_parts)
+        self.last_energies = np.concatenate(energy_parts)
         if check_energy:
-            check_energy_conservation(np.concatenate(energy_parts))
+            check_energy_conservation(self.last_energies)
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
         scale = self._bc.weight_scale
