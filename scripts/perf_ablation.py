@@ -1,10 +1,9 @@
 # coding: utf-8
 """Single-chip perf ablation of the HK step (60-mode AS flagship config).
 
-Dissects the per-step cost into its parts and tests candidate
-optimizations of the prefactor-determinant path (the round-1 profile:
-det+rk4 together cost ~4x det-only + rk4-only — a scheduling/memory
-pathology worth isolating before optimizing kernels blind).
+Dissects the per-step cost into its parts (the round-1 profile: det+rk4
+together cost ~4x det-only + rk4-only — a scheduling/memory pathology
+worth isolating before optimizing kernels blind).
 
 Run one variant per process (clean HBM) on the real TPU:
 
@@ -17,10 +16,7 @@ det_rk4       det + rk4
 rk4           rk4 only
 det           det only (M nudged per step so the loop isn't hoisted)
 obs_rk4       observables (c=1) + rk4
-resplit       like full, but the prefactor matrix is assembled with REAL
-              matmuls (monodromy is real; Gt/Gi are PSD so their sqrt
-              factors are real) — no complex casts of the (n,d,d) blocks
-resplit_det_rk4   resplit assembly + det + rk4 (no observables)
+assemble_rk4  prefactor matrix assembly only (no det) + rk4
 
 Prints one JSON line per run.
 """
@@ -48,6 +44,8 @@ def main():
     ap.add_argument("--profile_dir", default="")
     args = ap.parse_args()
 
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -58,64 +56,41 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from __graft_entry__ import _as60_setup
-    from semiclassical_tpu import linalg
     from semiclassical_tpu.propagation.eom import rk4_step
     from semiclassical_tpu.propagation.hk import (hk_observables,
-                                                  hk_prefactor_det)
+                                                  hk_prefactor_det,
+                                                  hk_prefactor_mat)
 
     prop, pot = _as60_setup(ntraj=args.ntraj, dtype=jnp.float32,
                             traj_dtype=jnp.float64)
-    params, bc = prop.params, prop._bc
     state0, tracker0 = prop.state, prop.trackers["prefactorC"]
     dt = 0.25
 
-    # real planes of the prefactor factor matrices (host side): for PSD
-    # width matrices the sqrt factors are real, the complex storage is an
-    # artifact of the generic sym_sqrtm
-    f32 = jnp.float32
-    Lts = jnp.asarray(np.real(linalg.from_device(params.Lt_s)), f32)
-    Lti = jnp.asarray(np.real(linalg.from_device(params.Lt_i)), f32)
-    Ris = jnp.asarray(np.real(linalg.from_device(params.Ri_s)), f32)
-    Rii = jnp.asarray(np.real(linalg.from_device(params.Ri_i)), f32)
-    imag_max = max(
-        float(np.abs(np.imag(linalg.from_device(m))).max())
-        for m in (params.Lt_s, params.Lt_i, params.Ri_s, params.Ri_i))
-    assert imag_max == 0.0, imag_max
-    hbar = 1.0
-
-    def resplit_prefactor_det(state):
-        a = state.Mqq @ Rii            # real (n, d, r)
-        b = state.Mqp @ Ris
-        c = state.Mpp @ Ris
-        e = state.Mpq @ Rii
-        mat_re = 0.5 * (jnp.einsum("ai,nib->nab", Lts, a)
-                        + jnp.einsum("ai,nib->nab", Lti, c))
-        mat_im = 0.5 * (-hbar * jnp.einsum("ai,nib->nab", Lts, b)
-                        + (1.0 / hbar) * jnp.einsum("ai,nib->nab", Lti, e))
-        return linalg.batched_det(jax.lax.complex(mat_re, mat_im))
-
     def make_scan(variant):
-        def body(carry, _):
+        # params/bc hold complex leaves: they must flow as jit *arguments*
+        # (a closure capture becomes an mlir constant, and complex
+        # host->device constants are unimplemented on this backend)
+        def body(params, bc, carry, _):
             state, tracker, t = carry
             cauto = kic = jnp.zeros((), jnp.complex64)
             en = jnp.zeros((), jnp.float64)
             if variant in ("full", "det_rk4", "det"):
                 c2 = hk_prefactor_det(params, state)
-            elif variant in ("resplit", "resplit_det_rk4"):
-                c2 = resplit_prefactor_det(state)
-            if variant in ("full", "resplit", "det_rk4", "resplit_det_rk4",
-                           "det"):
                 tracker = tracker.update(c2)
                 c = jnp.sqrt(c2) * tracker.signs
-            if variant in ("full", "resplit"):
+            if variant == "assemble_rk4":
+                mre, mim = hk_prefactor_mat(params, state)
+                # consume the assembly without a det: cheap trace-like sums
+                cauto = jax.lax.complex(jnp.sum(mre), jnp.sum(mim)).astype(
+                    jnp.complex64)
+            if variant == "full":
                 cauto, kic = hk_observables(params, bc, state, c, pot)
             elif variant == "obs_rk4":
                 c = jnp.ones((args.ntraj,), jnp.complex64)
                 cauto, kic = hk_observables(params, bc, state, c, pot)
             if variant == "det":
                 # nudge M so the det isn't loop-invariant (mimics the real
-                # dependency structure at negligible cost/traffic relative
-                # to the det itself)
+                # dependency structure at negligible cost relative to det)
                 from semiclassical_tpu.pytree import replace
                 eps = jnp.float32(1e-30)
                 state = replace(state,
@@ -125,21 +100,24 @@ def main():
                 state, en = rk4_step(state, pot, dt)
             return (state, tracker, t + dt), (cauto, kic, en)
 
-        def run(state, tracker):
-            return lax.scan(body, (state, tracker, jnp.float64(0.0)), None,
+        def run(params, bc, state, tracker):
+            return lax.scan(functools.partial(body, params, bc),
+                            (state, tracker, jnp.float64(0.0)), None,
                             length=args.nt)
         return jax.jit(run)
 
     run = make_scan(args.variant)
 
     t0 = time.time()
-    carry, outs = jax.block_until_ready(run(state0, tracker0))
+    carry, outs = jax.block_until_ready(
+        run(prop.params, prop._bc, state0, tracker0))
     compile_s = time.time() - t0
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
-    carry, outs = jax.block_until_ready(run(state0, tracker0))
+    carry, outs = jax.block_until_ready(
+        run(prop.params, prop._bc, state0, tracker0))
     wall = time.time() - t0
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -63,7 +63,7 @@ def complex_dtype(dtype):
     return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
 
 
-@pytree_dataclass(meta=("dim", "rank"))
+@pytree_dataclass(meta=("dim", "rank", "factors_real"))
 class HKParams:
     """Constant parameter pack of the HK propagator.
 
@@ -74,13 +74,23 @@ class HKParams:
                    + i/hbar Gt^{-1/2} Mpq Gi^{-1/2} ) ] U )
 
     with U the basis of the non-zero subspace of Gamma_i + Gamma_0.
-    Lt_* = U^T Gt^{+-1/2} and Ri_* = Gi^{+-1/2} U are precomputed.
+    Lt_* = U^T Gt^{+-1/2} and Ri_* = Gi^{+-1/2} U are precomputed, stored as
+    separate re/im *real* planes: the monodromy blocks are real, so the
+    prefactor assembly runs entirely in real (MXU) matmuls — for the usual
+    PSD width matrices (imaginary planes exactly zero, `factors_real`) this
+    is 8 real matmuls instead of the 4 complex ones of a complex-cast
+    formulation, i.e. half the matmul flops and no (n, d, d) complex
+    temporaries in HBM.
     """
 
-    Lt_s: jnp.ndarray   # (r, d) complex  U^T Gt^{1/2}
-    Lt_i: jnp.ndarray   # (r, d) complex  U^T Gt^{-1/2}
-    Ri_s: jnp.ndarray   # (d, r) complex  Gi^{1/2} U
-    Ri_i: jnp.ndarray   # (d, r) complex  Gi^{-1/2} U
+    Lt_s_re: jnp.ndarray   # (r, d)  Re U^T Gt^{1/2}
+    Lt_s_im: jnp.ndarray   # (r, d)  Im U^T Gt^{1/2}
+    Lt_i_re: jnp.ndarray   # (r, d)  Re U^T Gt^{-1/2}
+    Lt_i_im: jnp.ndarray   # (r, d)
+    Ri_s_re: jnp.ndarray   # (d, r)  Re Gi^{1/2} U
+    Ri_s_im: jnp.ndarray   # (d, r)
+    Ri_i_re: jnp.ndarray   # (d, r)  Re Gi^{-1/2} U
+    Ri_i_im: jnp.ndarray   # (d, r)
     q0: jnp.ndarray     # (d,)
     p0: jnp.ndarray     # (d,)
     G0: jnp.ndarray     # (d, d)   Gamma_0
@@ -93,6 +103,12 @@ class HKParams:
     wf: WavefunctionParams  # Gamma_t
     dim: int
     rank: int
+    factors_real: bool  # static: all imaginary planes exactly zero
+
+    @property
+    def cdtype(self):
+        """Complex dtype of the prefactor outputs."""
+        return complex_dtype(self.Lt_s_re.dtype)
 
 
 @pytree_dataclass
@@ -136,15 +152,25 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
     if traj_dtype is None:
         traj_dtype = dtype
     cdtype = complex_dtype(dtype)
+    rdtype = real_dtype(cdtype)
     sqGi, isqGi = linalg.sym_sqrtm(Gamma_i)
     sqGt, isqGt = linalg.sym_sqrtm(Gamma_t)
     Uc = U.astype(np.complex128)
     R = Gamma_0 @ iGi0 @ Gamma_i
+    Lt_s = Uc.T @ sqGt
+    Lt_i = Uc.T @ isqGt
+    Ri_s = sqGi @ Uc
+    Ri_i = isqGi @ Uc
+    factors_real = all(
+        float(np.abs(np.imag(m)).max()) == 0.0
+        for m in (Lt_s, Lt_i, Ri_s, Ri_i))
+    plane = lambda m: jnp.asarray(m, dtype=rdtype)
     return HKParams(
-        Lt_s=to_device(Uc.T @ sqGt, cdtype),
-        Lt_i=to_device(Uc.T @ isqGt, cdtype),
-        Ri_s=to_device(sqGi @ Uc, cdtype),
-        Ri_i=to_device(isqGi @ Uc, cdtype),
+        Lt_s_re=plane(Lt_s.real), Lt_s_im=plane(Lt_s.imag),
+        Lt_i_re=plane(Lt_i.real), Lt_i_im=plane(Lt_i.imag),
+        Ri_s_re=plane(Ri_s.real), Ri_s_im=plane(Ri_s.imag),
+        Ri_i_re=plane(Ri_i.real), Ri_i_im=plane(Ri_i.imag),
+        factors_real=factors_real,
         q0=jnp.asarray(q0, dtype=traj_dtype),
         p0=jnp.asarray(p0, dtype=traj_dtype),
         G0=jnp.asarray(Gamma_0, dtype=traj_dtype),
@@ -167,21 +193,58 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
 # functional core
 # ---------------------------------------------------------------------------
 
+def hk_prefactor_mat(params: HKParams, state: TrajState):
+    """The prefactor matrix, shape (n, r, r), as separate (re, im) real
+    planes.
+
+    mat = 1/2 ( Lt_s (Mqq Ri_i - i hbar Mqp Ri_s)
+              + Lt_i (Mpp Ri_s + i/hbar Mpq Ri_i) )
+
+    The monodromy blocks are real; the contractions run as real matmuls on
+    the re/im planes of the constant factors — 8 real matmuls when the
+    factors are real (the PSD-width case, `factors_real`), 16 in the
+    general case. No (n, d, d) complex temporaries ever enter HBM.
+    """
+    rdtype = params.Lt_s_re.dtype
+    Mqq = state.Mqq.astype(rdtype)
+    Mqp = state.Mqp.astype(rdtype)
+    Mpq = state.Mpq.astype(rdtype)
+    Mpp = state.Mpp.astype(rdtype)
+    lt = lambda L, X: jnp.einsum("ai,nib->nab", L, X)
+
+    # inner products with the right factors, by re/im plane
+    a_re = Mqq @ params.Ri_i_re
+    b_re = Mqp @ params.Ri_s_re
+    c_re = Mpp @ params.Ri_s_re
+    e_re = Mpq @ params.Ri_i_re
+    if params.factors_real:
+        # inner_s = a - i hbar b ; inner_i = c + (i/hbar) e — all planes real
+        mat_re = 0.5 * (lt(params.Lt_s_re, a_re) + lt(params.Lt_i_re, c_re))
+        mat_im = 0.5 * (-hbar * lt(params.Lt_s_re, b_re)
+                        + lt(params.Lt_i_re, e_re) / hbar)
+        return mat_re, mat_im
+
+    a_im = Mqq @ params.Ri_i_im
+    b_im = Mqp @ params.Ri_s_im
+    c_im = Mpp @ params.Ri_s_im
+    e_im = Mpq @ params.Ri_i_im
+    # inner_s = (Mqq Ri_i) - i hbar (Mqp Ri_s)
+    s_re = a_re + hbar * b_im
+    s_im = a_im - hbar * b_re
+    # inner_i = (Mpp Ri_s) + i/hbar (Mpq Ri_i)
+    i_re = c_re - e_im / hbar
+    i_im = c_im + e_re / hbar
+    mat_re = 0.5 * (lt(params.Lt_s_re, s_re) - lt(params.Lt_s_im, s_im)
+                    + lt(params.Lt_i_re, i_re) - lt(params.Lt_i_im, i_im))
+    mat_im = 0.5 * (lt(params.Lt_s_re, s_im) + lt(params.Lt_s_im, s_re)
+                    + lt(params.Lt_i_re, i_im) + lt(params.Lt_i_im, i_re))
+    return mat_re, mat_im
+
+
 def hk_prefactor_det(params: HKParams, state: TrajState):
     """C^2(t) for every trajectory, shape (n,) complex."""
-    cdtype = params.Lt_s.dtype
-    Mqq = state.Mqq.astype(cdtype)
-    Mqp = state.Mqp.astype(cdtype)
-    Mpq = state.Mpq.astype(cdtype)
-    Mpp = state.Mpp.astype(cdtype)
-
-    # group by shared left factor: two (n, d, r) inner products then two
-    # (r, d) x (n, d, r) contractions
-    inner_s = Mqq @ params.Ri_i - hbar * times_i(Mqp @ params.Ri_s)
-    inner_i = Mpp @ params.Ri_s + times_i(Mpq @ params.Ri_i) / hbar
-    mat = 0.5 * (jnp.einsum("ai,nib->nab", params.Lt_s, inner_s)
-                 + jnp.einsum("ai,nib->nab", params.Lt_i, inner_i))
-    return linalg.batched_det(mat)
+    mat_re, mat_im = hk_prefactor_mat(params, state)
+    return linalg.batched_det(jax.lax.complex(mat_re, mat_im))
 
 
 def _nac_factor(params: HKParams, potential, x, pvec, sign):
@@ -223,7 +286,7 @@ def hk_batch_constants(params: HKParams, qi, pi, log_prob,
              + params.dim * np.log(2.0 * np.pi * hbar))
     log_scale = jnp.mean(logw)
     logw_norm = (logw - log_scale).astype(qi.dtype)
-    weight = jnp.exp(logw_norm).astype(real_dtype(params.Lt_s.dtype))
+    weight = jnp.exp(logw_norm).astype(params.Lt_s_re.dtype)
     vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
     # exponent parts of the *weighted* initial overlap: for trajectories far
     # in the tail, vi underflows the complex dtype while weight * vi is

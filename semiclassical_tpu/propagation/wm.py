@@ -180,7 +180,7 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
                state: TrajState) -> WMDerived:
     """All per-trajectory WM tensors for the current state (eqns. 50-84)."""
     hk = params.hk
-    cdtype = hk.Lt_s.dtype
+    cdtype = hk.cdtype
     U = hk.U.astype(state.Mqq.dtype)             # (d, r)
     r = params.rank
     p0 = hk.p0

@@ -44,6 +44,56 @@ def test_wm_sharded_matches_single_device():
     np.testing.assert_allclose(k8, k1, rtol=1e-10, atol=1e-12)
 
 
+def test_sharded_rank_deficient():
+    """6-mode model with 2 zero-frequency modes (singular Gamma, rank 4 —
+    the molecular translations/rotations situation): the zero-mode
+    U-projection machinery (sampling, prefactor, observables) must give
+    identical results on the 8-device mesh and on one device, and must
+    equal the 4-mode full-rank system the singular one embeds
+    (reference zero-mode handling propagators.py:496-498,994,1246-1250)."""
+    rng = np.random.default_rng(1)
+    omega4 = rng.uniform(0.005, 0.02, size=4)
+    nac4 = rng.uniform(-1.0, 1.0, size=4)
+    q04 = rng.uniform(0.5, 1.5, size=4)
+
+    def run(omega, nac, q0, mesh, prop_cls=HermanKlukPropagator, **kwargs):
+        d = omega.shape[0]
+        pot = MorsePotential.create(omega, np.full(d, 0.02), nac)
+        Gamma = np.diag(omega)
+        prop = prop_cls(Gamma, Gamma, **kwargs)
+        prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=2048, key=11,
+                                potential=pot, mesh=mesh)
+        return prop.propagate(pot, 1.0, 10, energy0_es=0.01)
+
+    # zero modes appended at the end (eigh orders ascending, so the
+    # non-zero subspace keeps the same internal ordering in both systems)
+    omega6 = np.concatenate([omega4, [0.0, 0.0]])
+    nac6 = np.concatenate([nac4, [0.0, 0.0]])
+    q06 = np.concatenate([q04, [0.0, 0.0]])
+
+    mesh = ensemble_mesh()
+    c1, k1 = run(omega6, nac6, q06, None)
+    c8, k8 = run(omega6, nac6, q06, mesh)
+    np.testing.assert_allclose(c8, c1, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(k8, k1, rtol=1e-10, atol=1e-12)
+    # normalisation survives the rank-deficient sampling under SPMD
+    assert abs(c8[0] - 1.0) < 1e-3
+
+    # embedding invariance: padding with zero modes changes nothing
+    c4, k4 = run(omega4, nac4, q04, mesh)
+    np.testing.assert_allclose(c8, c4, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(k8, k4, rtol=1e-9, atol=1e-11)
+
+    # WM on the same singular-Gamma configuration, sharded vs single
+    kwargs = dict(alpha=200.0, beta=200.0)
+    cw1, kw1 = run(omega6, nac6, q06, None,
+                   prop_cls=WaltonManolopoulosPropagator, **kwargs)
+    cw8, kw8 = run(omega6, nac6, q06, mesh,
+                   prop_cls=WaltonManolopoulosPropagator, **kwargs)
+    np.testing.assert_allclose(cw8, cw1, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(kw8, kw1, rtol=1e-9, atol=1e-11)
+
+
 def test_sharded_multimode():
     """5-mode full-rank Morse: sharded and single-device runs must agree."""
     rng = np.random.default_rng(0)
