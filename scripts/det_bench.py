@@ -37,7 +37,8 @@ def make_batch(n, r, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="schur",
-                    choices=["schur", "lu", "pallas", "xla"])
+                    choices=["schur", "lu", "pallas", "lanes", "xla", "peel",
+                             "peel8", "peel15", "peel20"])
     ap.add_argument("--ntraj", type=int, default=32768)
     ap.add_argument("--r", type=int, default=60)
     ap.add_argument("--iters", type=int, default=10)
@@ -65,6 +66,12 @@ def main():
         fn = lambda re, im: linalg._det_jax(jax.lax.complex(re, im))
     elif args.impl == "xla":
         fn = lambda re, im: jnp.linalg.det(jax.lax.complex(re, im))
+    elif args.impl == "lanes":
+        from semiclassical_tpu.ops import pallas_batched_det_lanes
+        fn = lambda re, im: pallas_batched_det_lanes(jax.lax.complex(re, im))
+    elif args.impl.startswith("peel"):
+        b = int(args.impl[4:]) if args.impl != "peel" else 12
+        fn = lambda re, im: linalg._det_peel(jax.lax.complex(re, im), b=b)
     else:
         from semiclassical_tpu.ops import pallas_batched_det
         fn = lambda re, im: pallas_batched_det(jax.lax.complex(re, im))
@@ -89,8 +96,13 @@ def main():
     acc = jax.block_until_ready(many(Are, Aim))
     wall = time.time() - t0
 
-    det1 = jax.block_until_ready(fn(Are[:256], Aim[:256]))
-    det1 = np.asarray(det1.real) + 1j * np.asarray(det1.imag)
+    @jax.jit
+    def fn_planes(re, im):
+        d = fn(re, im)
+        return jnp.real(d), jnp.imag(d)
+
+    d_re, d_im = jax.block_until_ready(fn_planes(Are[:256], Aim[:256]))
+    det1 = np.asarray(d_re) + 1j * np.asarray(d_im)
     rel = np.abs(det1 - det_ref) / np.abs(det_ref)
 
     print(json.dumps({

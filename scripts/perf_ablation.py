@@ -88,6 +88,19 @@ def main():
             elif variant == "obs_rk4":
                 c = jnp.ones((args.ntraj,), jnp.complex64)
                 cauto, kic = hk_observables(params, bc, state, c, pot)
+            elif variant == "autocorr_rk4":
+                # only the autocorrelation part (overlap exponents + phases)
+                from semiclassical_tpu.propagation.hk import hk_autocorr_qp
+                c = jnp.ones((args.ntraj,), jnp.complex64)
+                cauto = jnp.sum(hk_autocorr_qp(params, bc, state, c))
+            elif variant == "nac_rk4":
+                # only the NAC factor of k~ic (tau couplings + quadratic form)
+                from semiclassical_tpu.propagation.hk import (_nac_factor,
+                                                              _shifted_momentum)
+                PI = _shifted_momentum(params, state.p)
+                nacQ = _nac_factor(params, pot, state.q,
+                                   PI.astype(jnp.complex64), -1.0)
+                cauto = jnp.sum(nacQ)
             if variant == "det":
                 # nudge M so the det isn't loop-invariant (mimics the real
                 # dependency structure at negligible cost relative to det)

@@ -5,6 +5,7 @@ Currently: the batched complex determinant of the semiclassical prefactor
 (the single most expensive op of the HK/WM step — see BASELINE.md ablation).
 """
 
-from semiclassical_tpu.ops.det_kernel import pallas_batched_det
+from semiclassical_tpu.ops.det_kernel import (pallas_batched_det,
+                                              pallas_batched_det_lanes)
 
-__all__ = ["pallas_batched_det"]
+__all__ = ["pallas_batched_det", "pallas_batched_det_lanes"]

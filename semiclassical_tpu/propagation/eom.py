@@ -11,6 +11,14 @@ propagators.py:296-398 (EquationsOfMotion). Differences by design:
   `HessianOp`, so separable potentials cost O(n d^2) instead of O(n d^3);
 * each RK4 stage evaluates the potential once, exactly like the reference
   (4 PES evaluations per step — required for trajectory-level parity);
+* the step is integrated in THREE independent subsystems that share the
+  stage Hessians: the trajectory block (q, p, S) first, then the two
+  monodromy pairs (Mqq, Mpq) and (Mqp, Mpp).  The pairs are genuinely
+  decoupled (dMqq/dt = Mpq/m, dMpq/dt = -H Mqq, and likewise for the other
+  pair; the Hessians depend only on the stage positions, which the
+  trajectory block fixes) — so at most 8 monodromy-sized buffers are live
+  at any point instead of 16, halving the peak-memory cost of the step and
+  doubling the single-chip trajectory-batch ceiling;
 * the batch-mean total energy <T + V> at the step start is returned for the
   post-scan energy-conservation check (the reference syncs it to the host
   every step, propagators.py:380-398).
@@ -65,20 +73,65 @@ def rk4_step(state: TrajState, potential, dt):
     evaluated at the k1 stage (the exact state at time t), which is the
     quantity whose step-to-step drift the conservation guard monitors.
     """
-    # the step size may be a traced f64 scalar while monodromy leaves are
-    # f32 (mixed mode) — cast per leaf so dtypes are preserved in the carry
-    axpy = lambda y, a, k: jax.tree.map(
-        lambda yi, ki: yi + jnp.asarray(a).astype(yi.dtype) * ki, y, k)
+    inv_m = 1.0 / potential.masses()                     # (d,)
+    q, p, S = state.q, state.p, state.S
+    # dt may arrive as a traced f64 scalar while the state is f32: cast once
+    # per precision domain so no leaf dtype drifts in the scan carry
+    tdt = jnp.asarray(dt).astype(q.dtype)
+    half = 0.5 * tdt
 
-    # sequential accumulation: at most 4 state-sized trees are live at any
-    # point (y, acc, stage point, current k) instead of y + k1..k4 — the
-    # monodromy blocks dominate device memory at large trajectory batches
-    k, en = state_derivative(state, potential)
-    acc = axpy(state, dt / 6.0, k)            # y + dt/6 k1
-    k, _ = state_derivative(axpy(state, 0.5 * dt, k), potential)
-    acc = axpy(acc, dt / 3.0, k)              # + dt/3 k2
-    k, _ = state_derivative(axpy(state, 0.5 * dt, k), potential)
-    acc = axpy(acc, dt / 3.0, k)              # + dt/3 k3
-    k, _ = state_derivative(axpy(state, dt, k), potential)
-    new_state = axpy(acc, dt / 6.0, k)        # + dt/6 k4
-    return new_state, en
+    def traj_stage(qs, ps):
+        vpot, grad, hess = potential.local_expansion(qs)
+        tkin = 0.5 * jnp.sum(ps**2 * inv_m[None, :], axis=1)
+        return ((ps * inv_m[None, :]).astype(q.dtype),
+                -grad.astype(p.dtype),
+                (tkin - vpot).astype(S.dtype)), hess, tkin + vpot
+
+    # --- trajectory block (q, p, S): 4 PES evaluations, Hessians kept ---
+    k1, H1, e1 = traj_stage(q, p)
+    k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
+    k3, H3, _ = traj_stage(q + half * k2[0], p + half * k2[1])
+    k4, H4, _ = traj_stage(q + tdt * k3[0], p + tdt * k3[1])
+    sixth = tdt / 6.0
+    new_q = q + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+    new_p = p + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+    new_S = S + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+    mean_energy = jnp.mean(e1)
+
+    # --- monodromy pairs, sharing the stage Hessians ---
+    mdt = state.Mqq.dtype
+    im = inv_m.astype(mdt)[None, :, None]
+    dts = jnp.asarray(dt).astype(mdt)
+    h6, h3, h2 = dts / 6.0, dts / 3.0, dts / 2.0
+
+    def pair(Ma, Mb):
+        """RK4 for dMa/dt = Mb/m, dMb/dt = -H(t) Ma, with sequential
+        accumulation: at most 8 (n, d, d) buffers live at once."""
+        ka = Mb * im
+        kb = -H1.matmul(Ma)
+        acc_a = Ma + h6 * ka
+        acc_b = Mb + h6 * kb
+        sa = Ma + h2 * ka
+        sb = Mb + h2 * kb
+        ka = sb * im
+        kb = -H2.matmul(sa)
+        acc_a = acc_a + h3 * ka
+        acc_b = acc_b + h3 * kb
+        sa = Ma + h2 * ka
+        sb = Mb + h2 * kb
+        ka = sb * im
+        kb = -H3.matmul(sa)
+        acc_a = acc_a + h3 * ka
+        acc_b = acc_b + h3 * kb
+        sa = Ma + dts * ka
+        sb = Mb + dts * kb
+        ka = sb * im
+        kb = -H4.matmul(sa)
+        return acc_a + h6 * ka, acc_b + h6 * kb
+
+    Mqq, Mpq = pair(state.Mqq, state.Mpq)
+    Mqp, Mpp = pair(state.Mqp, state.Mpp)
+
+    new_state = TrajState(q=new_q, p=new_p, S=new_S,
+                          Mqq=Mqq, Mqp=Mqp, Mpq=Mpq, Mpp=Mpp)
+    return new_state, mean_energy

@@ -102,3 +102,30 @@ def test_lu_det_inv():
     assert np.allclose(np.asarray(linalg._det_jax(Aj)), np.linalg.det(A))
     assert np.allclose(np.asarray(linalg._inv_jax(Aj)), np.linalg.inv(A),
                        atol=1e-10)
+
+
+def test_det_peel():
+    """Panel-peeling determinant vs LAPACK, including non-multiple sizes."""
+    rng = np.random.default_rng(9)
+    for r in (5, 12, 25, 60):
+        A = (np.eye(r) + 0.3 * (rng.standard_normal((8, r, r))
+                                + 1j * rng.standard_normal((8, r, r)))
+             / np.sqrt(r))
+        det = linalg._det_peel(jnp.asarray(A), b=12)
+        assert np.allclose(np.asarray(det), np.linalg.det(A), rtol=1e-10), r
+
+
+def test_pallas_det_lanes_interpret():
+    """The trajectory-in-lanes LU det kernel (TPU production path for
+    `batched_det`) against LAPACK in interpreter mode, complex64 accuracy."""
+    from semiclassical_tpu.ops import pallas_batched_det_lanes
+
+    rng = np.random.default_rng(10)
+    r, n = 12, 20  # n deliberately not a multiple of the tile (padding path)
+    A = (np.eye(r)[None] + 0.3 * (rng.standard_normal((n, r, r))
+                                  + 1j * rng.standard_normal((n, r, r)))
+         / np.sqrt(r))
+    det = np.asarray(pallas_batched_det_lanes(jnp.asarray(A, jnp.complex64),
+                                              tile=16))
+    ref = np.linalg.det(A)
+    assert np.abs(det - ref).max() / np.abs(ref).min() < 1e-4
