@@ -145,10 +145,20 @@ class BatchConstants:
 def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
                      traj_dtype=None):
     """`dtype` is the monodromy/complex precision (the prefactor factor
-    matrices and all complex outputs), `traj_dtype` the precision of the
-    geometry-side constants used in observable exponents — these see
-    quadratic forms of magnitude ~1e2 and should match the trajectory
-    precision (f64 in the mixed mode)."""
+    matrices, all complex outputs, and the observable quadratic forms),
+    `traj_dtype` the precision of the geometry-side constants (q0, p0, ...)
+    that enter *differences* with the trajectory state.
+
+    Precision structure of the observable exponents: the displacements
+    dq = q0 - q(t), dp = p0 - p(t) are computed at trajectory precision
+    (f64 in the mixed mode — they are differences of nearby large values),
+    then the quadratic forms dq^T A dq run at `dtype`. The forms' inputs
+    are O(1-30) and the results O(1e2) at worst, so f32 costs ~1e-5
+    absolute exponent error — far below the Monte-Carlo floor — while the
+    (n, d) @ (d, d) contractions stay off the TPU's emulated-f64 path
+    (measured: the f64 exponent path was ~24 ms of a 75 ms step at
+    n = 32768, d = 60; the mixed-vs-f64 gate in tests/test_precision.py
+    holds at 1e-4)."""
     if traj_dtype is None:
         traj_dtype = dtype
     cdtype = complex_dtype(dtype)
@@ -177,13 +187,13 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
         iGi0=jnp.asarray(iGi0, dtype=traj_dtype),
         R=jnp.asarray(R, dtype=traj_dtype),
         U=jnp.asarray(U, dtype=dtype),
-        csoi0=OverlapParams.create(Gamma_i, Gamma_0, dtype=traj_dtype,
+        csoi0=OverlapParams.create(Gamma_i, Gamma_0, dtype=dtype,
                                    out_dtype=cdtype),
-        csot0=OverlapParams.create(Gamma_t, Gamma_0, dtype=traj_dtype,
+        csot0=OverlapParams.create(Gamma_t, Gamma_0, dtype=dtype,
                                    out_dtype=cdtype),
-        csott=OverlapParams.create(Gamma_t, Gamma_t, dtype=traj_dtype,
+        csott=OverlapParams.create(Gamma_t, Gamma_t, dtype=dtype,
                                    out_dtype=cdtype),
-        wf=WavefunctionParams.create(Gamma_t, dtype=traj_dtype),
+        wf=WavefunctionParams.create(Gamma_t, dtype=dtype),
         dim=int(q0.shape[0]),
         rank=int(U.shape[1]),
     )
@@ -254,24 +264,32 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
     with n1 = -hbar^2 tau1/m, n2 = -hbar^2/2 sum_k tau2_k/m_k.
     sign = +1 at the initial point (q), -1 at the current point (Q).
     """
-    t = params.R.dtype
+    # the difference q0 - x runs at trajectory precision; the contractions
+    # at the observable precision (see _build_hk_params)
+    t = params.Lt_s_re.dtype
     inv_m = 1.0 / potential.masses()
     tau1 = potential.derivative_coupling_1st(x)
     tau2 = potential.derivative_coupling_2nd(x)
     n1 = (-(hbar**2) * tau1 * inv_m[None, :]).astype(t)     # (n, d)
     n2 = (-(hbar**2) * 0.5
           * jnp.sum(tau2 * inv_m[None, :], axis=1)).astype(t)  # (n,)
-    dq = (params.q0[None, :] - x.astype(params.q0.dtype))
-    core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R, n1)
+    dq = (params.q0[None, :] - x.astype(params.q0.dtype)).astype(t)
+    core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R.astype(t), n1)
     core = core.astype(real_dtype(pvec.dtype))
     return core + (sign / hbar) * times_i(
         jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
 
 
 def _shifted_momentum(params: HKParams, p):
-    """p0 + Gamma_0 [Gi+G0]^{-1} (p - p0)  (reference propagators.py:894-895)."""
+    """p0 + Gamma_0 [Gi+G0]^{-1} (p - p0)  (reference propagators.py:894-895).
+
+    The difference p - p0 runs at trajectory precision, the (d, d)
+    contraction at the observable precision."""
+    t = params.Lt_s_re.dtype
     p = p.astype(params.p0.dtype)
-    return params.p0[None, :] + (p - params.p0[None, :]) @ (params.G0 @ params.iGi0).T
+    dp = (p - params.p0[None, :]).astype(t)
+    shift = (params.G0 @ params.iGi0).T.astype(t)
+    return params.p0[None, :].astype(t) + dp @ shift
 
 
 def hk_batch_constants(params: HKParams, qi, pi, log_prob,
