@@ -254,7 +254,7 @@ def _lu_det_lanes_shrunk_kernel(a_in, out_re_ref, out_im_ref, a_ref):
 
 @functools.partial(jax.jit, static_argnames=("tile", "shrink"))
 def pallas_batched_det_lanes(A: jax.Array, tile: int = 128,
-                             shrink: bool = False) -> jax.Array:
+                             shrink: bool = True) -> jax.Array:
     """Determinant of a batch of complex64 matrices, shape (n, r, r).
 
     Same contract as `pallas_batched_det`; trajectory-in-lanes layout.
