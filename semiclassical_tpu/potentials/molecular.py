@@ -166,17 +166,26 @@ def minimize(potential, r_guess, maxiter=200, rtol=1.0e-5, gtol=1.0e-7):
     r = jnp.asarray(r_guess)
     for i in range(maxiter):
         energy, grad, hess = expansion(potential, r)
-        hess = jnp.reshape(hess, (r.shape[0], r.shape[0]))
+        # the Newton solve is a single small (d, d) system: do it on the
+        # host — the TPU backend has no f64 LU and a device roundtrip per
+        # iteration buys nothing. Molecular Hessians carry ~6 near-zero
+        # translational/rotational modes, so a plain solve is ill-posed
+        # (|dr| blows up along the null space and the line search dies);
+        # the pseudo-inverse Newton step projects them out.
+        grad_h = np.asarray(grad)
+        hess_h = np.asarray(hess).reshape(grad_h.shape[0], grad_h.shape[0])
 
-        dr = jnp.linalg.solve(hess, -grad)
-        delta_energy = float(jnp.sum(grad * dr))
+        evals, evecs = np.linalg.eigh(0.5 * (hess_h + hess_h.T))
+        keep = np.abs(evals) > 1.0e-8 * np.abs(evals).max()
+        dr = -(evecs[:, keep] / evals[keep]) @ (evecs[:, keep].T @ grad_h)
+        delta_energy = float(np.sum(grad_h * dr))
         if delta_energy > 0.0:
             # not a descent direction -> steepest descent
-            dr = -grad
-            delta_energy = float(jnp.sum(grad * dr))
+            dr = -grad_h
+            delta_energy = float(np.sum(grad_h * dr))
 
-        grad_norm = float(jnp.linalg.norm(grad))
-        disp_norm = float(jnp.linalg.norm(dr))
+        grad_norm = float(np.linalg.norm(grad_h))
+        disp_norm = float(np.linalg.norm(dr))
         logger.info(
             f"  iteration= {i:5}  energy= {float(energy):f} Hartree  "
             f"|gradient|= {grad_norm:e} (threshold= {gtol})  "
