@@ -57,20 +57,30 @@ from semiclassical_tpu.units import hbar
 __all__ = ["WMParams", "WMBatchConstants", "WaltonManolopoulosPropagator"]
 
 
-@pytree_dataclass(meta=("dim", "rank"))
+@pytree_dataclass(meta=("dim", "rank", "m_log_det"))
 class WMParams:
     """Constant parameter pack of the WM propagator.
 
     Pseudo-determinants absorb their pi / 2 pi factors as in the reference
     (propagators.py:1107-1125): detG0 = det(G0)/pi^r etc.,
     detGi0 = det(Gi+G0)/(2 pi)^r.
+
+    The M-matrix determinant is kept SCALED: det(M'/(2 pi)) has magnitude
+    ~ prod_k(omega_k / pi)^r, which underflows complex64 beyond ~15 modes
+    (e.g. 1e-180 at 60 modes — round-2 bug: WM production observables were
+    NaN on TPU at 60 modes). `wm_derived` therefore computes
+    detM = det(M' / m_scale) with m_scale = 2 pi exp(m_log_det / r) chosen
+    so detM is O(1) (m_log_det = log det(2 U^T G0 U / (2 pi)), the t = 0
+    magnitude of M'), and the exact compensation exp(-m_log_det / 2) is
+    folded into `auto_pref`'s host-side log-space assembly.
     """
 
     hk: HKParams
     alpha: jnp.ndarray       # ()
     beta: jnp.ndarray        # ()
     auto_pref: jnp.ndarray   # ()  detG0^{1/2} detGt^{1/4} detGi^{1/4}
-                             #     / detGi0^{1/2}, combined in log space
+                             #     / detGi0^{1/2} / exp(m_log_det/2),
+                             #     combined in log space
     coef_pref: jnp.ndarray   # ()  detG0^{1/4} detGt^{1/4} detGi^{1/4}
                              #     / detGi0^{1/2}
     Gt: jnp.ndarray          # (d, d)  Gamma_t
@@ -81,8 +91,12 @@ class WMParams:
     UtG0U: jnp.ndarray       # (r, r)  U^T Gamma_0 U
     Cqq: jnp.ndarray         # (d, d)  G0 - G0 [Gi+G0]^{-1} G0  (eqn. 69)
     G0iGi0: jnp.ndarray      # (d, d)  G0 [Gi+G0]^{-1}
+    m_scale: jnp.ndarray     # ()  2 pi exp(m_log_det / r)
+    Dbal: jnp.ndarray        # (2r, 2r) real blockdiag(W^{-1/2}, W^{1/2}),
+                             # W = U^T G0 U: det-preserving balancing of A
     dim: int
     rank: int
+    m_log_det: float         # static: log of the factored-out detM scale
 
 
 @pytree_dataclass
@@ -109,7 +123,8 @@ class WMDerived:
     """Per-step derived tensors of the WM propagator (eqns. 50-84)."""
 
     detA: jnp.ndarray   # (n,) complex  det(A' / 2 sqrt(alpha beta))
-    detM: jnp.ndarray   # (n,) complex  det(M' / 2 pi)
+    detM: jnp.ndarray   # (n,) complex  det(M' / m_scale), O(1) by
+                        # construction (= det(M'/2pi) exp(-m_log_det))
     CQQ: jnp.ndarray    # (n, d, d) complex  (eqn. 70)
     CqQ: jnp.ndarray    # (n, d, d) complex  (eqn. 71)
     PIQ: jnp.ndarray    # (n, d) complex     (eqn. 73)
@@ -151,8 +166,27 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
     ldi = linalg.pseudo_logdet(Gamma_i, scale=np.pi)
     ldt = linalg.pseudo_logdet(Gamma_t, scale=np.pi)
     ldi0 = linalg.pseudo_logdet(Gamma_0 + Gamma_i, scale=2 * np.pi)
-    auto_pref = np.exp(0.5 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
+    # detM scale: m_log_det = log det(2 U^T G0 U / (2 pi)) = ld0; dividing
+    # M' by m_scale = 2 pi exp(m_log_det / r) keeps its determinant O(1)
+    # at any mode count (see WMParams docstring), and the compensator
+    # exp(-m_log_det / 2) joins the log-space prefactor assembly:
+    #   0.5 ld0 + ... - 0.5 m_log_det = 0.25 ldt + 0.25 ldi - 0.5 ldi0
+    m_log_det = float(ld0)
+    auto_pref = np.exp(0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
     coef_pref = np.exp(0.25 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
+
+    # determinant-preserving balancing of A: blockdiag(W^{-1/2}, W^{1/2}),
+    # W = U^T G0 U. det(D) = 1 exactly, so det(D A D) = det(A), but the
+    # conjugation brings every block of A/(2 sqrt(alpha beta)) to O(1) —
+    # without it the Schur recursion's *intermediate* block determinants
+    # are ~ prod(omega)^r and underflow complex64 beyond ~15 modes
+    W = U.T @ Gamma_0 @ U
+    ew, Vw = np.linalg.eigh(W)
+    W_sqrt = (Vw * np.sqrt(ew)) @ Vw.T
+    W_isqrt = (Vw / np.sqrt(ew)) @ Vw.T
+    Dbal = np.zeros((2 * r, 2 * r))
+    Dbal[:r, :r] = W_isqrt
+    Dbal[r:, r:] = W_sqrt
 
     return WMParams(
         hk=hk,
@@ -167,8 +201,12 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
         UtG0U=jnp.asarray(U.T @ Gamma_0 @ U, dtype=dtype),
         Cqq=jnp.asarray(Gamma_0 - Gamma_0 @ iGi0 @ Gamma_0, dtype=dtype),
         G0iGi0=jnp.asarray(G0iGi0, dtype=dtype),
+        m_scale=jnp.asarray(2.0 * np.pi * np.exp(m_log_det / r),
+                            dtype=dtype),
+        Dbal=jnp.asarray(Dbal, dtype=dtype),
         dim=hk.dim,
         rank=hk.rank,
+        m_log_det=m_log_det,
     )
 
 
@@ -216,8 +254,12 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     # the scaled matrix once: inv(A) = inv(A/s) / s.
     s_ab = (2.0 * jnp.sqrt(params.alpha * params.beta)).astype(
         real_dtype(cdtype))
-    detA, iA_s = linalg.batched_det_inv(A / s_ab)
-    iA = iA_s / s_ab                                        # (n, 2r, 2r)
+    # balance before factorising: det unchanged (det Dbal = 1), Schur
+    # intermediates stay O(1) in complex64 (see _build_wm_params)
+    D = params.Dbal.astype(real_dtype(cdtype))
+    Abal = jnp.einsum("ab,nbc,cd->nad", D, A / s_ab, D)
+    detA, iAb = linalg.batched_det_inv(Abal)
+    iA = jnp.einsum("ab,nbc,cd->nad", D, iAb, D) / s_ab     # (n, 2r, 2r)
 
     # BQ U2 = Gt Mqz U2 + i/hbar Mpz U2 (eqn. 53 projected)
     BQU = GtMqzU.astype(cdtype) + times_i(MpzU / hbar)      # (n, d, 2r)
@@ -241,8 +283,11 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     # eqn. 78: M = G0 + CQQ, projected to the non-zero subspace
     Mp = params.UtG0U.astype(cdtype)[None] + jnp.einsum(
         "ia,nij,jb->nab", U.astype(cdtype), CQQ, U.astype(cdtype))
-    detM, iM_s = linalg.batched_det_inv(Mp / (2.0 * np.pi))
-    iM = iM_s / jnp.asarray(2.0 * np.pi, dtype=real_dtype(cdtype))  # (n, r, r)
+    # scaled determinant — see WMParams docstring; plain det(M'/2 pi)
+    # underflows complex64 beyond ~15 modes
+    m_scale = params.m_scale.astype(real_dtype(cdtype))
+    detM, iM_s = linalg.batched_det_inv(Mp / m_scale)
+    iM = iM_s / m_scale                                         # (n, r, r)
 
     # eqns. 79-84 with iM folded through U
     CqQU = CqQ @ U.astype(cdtype)                           # (n, d, r)

@@ -74,3 +74,34 @@ def test_mixed_matches_f64(prop_cls, kwargs):
     err_k = np.abs(cm_k - c64_k).max() / max(np.abs(c64_k).max(), 1e-30)
     assert err_c < 1e-4, err_c
     assert err_k < 1e-3, err_k
+
+
+def test_wm_mixed_many_modes():
+    """Regression: the WM M-matrix determinant underflows complex64 beyond
+    ~15 modes unless scaled (det(M'/2pi) ~ 1e-180 at 60 modes); the scaled
+    formulation (WMParams.m_scale / m_log_det) must keep the production
+    observables finite and within the mixed-precision envelope of f64."""
+    rng = np.random.default_rng(42)
+    d = 60
+    omega = rng.uniform(200.0, 3000.0, size=d) / 219474.63
+    S = rng.uniform(0.01, 0.3, size=d)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    chi = np.full(d, 0.02)
+    pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float64)
+    dQ = np.sqrt(2.0 * S / omega)
+    Gamma = np.diag(omega)
+
+    def run(dtype, traj_dtype):
+        prop = WaltonManolopoulosPropagator(
+            Gamma, Gamma, alpha=10000.0, beta=10000.0,
+            dtype=dtype, traj_dtype=traj_dtype)
+        prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=128, key=0,
+                                potential=pot)
+        c, k = prop.propagate(pot, 0.25, 5, check_energy=False)
+        return np.asarray(c), np.asarray(k)
+
+    cm, km = run(jnp.float32, jnp.float64)
+    assert np.isfinite(cm).all() and np.isfinite(km).all()
+    assert abs(cm[0] - 1.0) < 1e-2  # MC estimate at small ntraj
+    c64, k64 = run(jnp.float64, None)
+    assert np.abs(cm - c64).max() < 1e-3 * np.abs(c64).max()

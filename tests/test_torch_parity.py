@@ -222,8 +222,10 @@ def test_per_step_parity_wm(torch_reference):
         np.testing.assert_allclose(
             np.asarray(derived.detA), ref.detA.numpy(), rtol=1e-8,
             err_msg=f"detA step {step}")
+        # ours is the scaled det(M'/m_scale); unscale for the comparison
         np.testing.assert_allclose(
-            np.asarray(derived.detM), ref.detM.numpy(), rtol=1e-8,
+            np.asarray(derived.detM) * np.exp(prop.params.m_log_det),
+            ref.detM.numpy(), rtol=1e-8,
             err_msg=f"detM step {step}")
         np.testing.assert_allclose(
             np.asarray(derived.gamma), ref.gamma.numpy(), rtol=0, atol=1e-9,
