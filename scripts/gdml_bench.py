@@ -47,7 +47,9 @@ def main():
     from semiclassical_tpu.gdml import GDMLParams, gdml_forward
     from semiclassical_tpu.io.fchk import FormattedCheckpointFile
 
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    # "mixed" = f64 pack (exact energies/gradients) + f32 Hessian
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    hess_dtype = jnp.float32 if args.dtype == "mixed" else None
     model = np.load(MODEL, allow_pickle=True)
     params = GDMLParams.from_npz(model, dtype=dtype)
     with open(GEOM) as f:
@@ -58,7 +60,8 @@ def main():
     r = jnp.asarray(x0[None, :] + 0.02 * rng.standard_normal(
         (args.batch, x0.shape[0])), dtype)
 
-    fwd = jax.jit(lambda r: gdml_forward(params, r, order=args.order))
+    fwd = jax.jit(lambda r: gdml_forward(params, r, order=args.order,
+                                         hess_dtype=hess_dtype))
 
     out = jax.block_until_ready(fwd(r))
     t0 = time.time()

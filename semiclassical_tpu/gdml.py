@@ -100,7 +100,8 @@ class GDMLParams:
         )
 
 
-def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2):
+def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
+                 hess_dtype=None):
     """Energy / gradient / Hessian for a batch of geometries.
 
     Parameters
@@ -109,6 +110,14 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2):
     r : (B, 3N) cartesian coordinates in bohr
     order : int (static)
         0 -> energy, 1 -> (energy, grad), 2 -> (energy, grad, hess)
+    hess_dtype : optional dtype (static)
+        precision of the second-derivative contractions (the O(B (3N)^2)
+        dominant cost). The TPU mixed mode uses f64 energies/gradients —
+        absolute energies are O(1e2) Ha and feed the action phase, where
+        f32 cancellation is catastrophic — with an f32 Hessian, which only
+        drives the f32 monodromy blocks and whose f32 error (~1e-4) sits
+        well under the sGDML model error (~1e-3). f64 Hessians are ~137x
+        slower on TPU (emulated f64, BASELINE.md).
 
     Returns
     -------
@@ -117,6 +126,10 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2):
     N = params.n_atoms
     B = r.shape[0]
     D = params.xs_train.shape[1]
+    # compute at the parameter pack's precision: without the cast, f64
+    # trajectory coordinates silently promote an f32 pack to the TPU's
+    # emulated-f64 path
+    r = r.astype(params.xs_train.dtype)
     r3 = r.reshape(B, N, 3)
 
     q = jnp.sqrt(5.0) / params.sig
@@ -156,36 +169,49 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2):
     if order == 1:
         return energy, grad
 
+    # second derivatives, optionally at reduced precision (see docstring):
+    # every input of the O(B M (3N)) / O(B (3N)^2) contractions below is a
+    # smooth O(1-1e2) quantity, so the cast loses nothing that the model
+    # error has not already lost
+    ht = jnp.dtype(hess_dtype) if hess_dtype is not None else r.dtype
+    cast = lambda a: a.astype(ht)
+    xs_h, xs3_h, diffs_h = cast(xs), cast(xs3), cast(diffs)
+    x_diffs_h, A_h = cast(x_diffs), cast(A)
+    exp_fac_h, XA_h, grad_x_h = cast(exp_fac), cast(XA), cast(grad_x)
+    incidence_h = cast(params.incidence)
+    pair_outer_h = cast(params.pair_outer)
+
     # dense descriptor Jacobian (B, D, 3N), needed for second derivatives
-    jac = -(xs3[:, :, None, None] * diffs[:, :, None, :]
-            * params.incidence[None, :, :, None])                # (B, D, N, 3)
+    jac = -(xs3_h[:, :, None, None] * diffs_h[:, :, None, :]
+            * incidence_h[None, :, :, None])                     # (B, D, N, 3)
     jac = jac.reshape(B, D, 3 * N)
 
-    XJ = jnp.einsum("bmd,bdx->bmx", x_diffs, jac)                # (B, M, 3N)
-    AJ = jnp.einsum("md,bdx->bmx", A, jac)                       # (B, M, 3N)
+    XJ = jnp.einsum("bmd,bdx->bmx", x_diffs_h, jac)              # (B, M, 3N)
+    AJ = jnp.einsum("md,bdx->bmx", A_h, jac)                     # (B, M, 3N)
     JJ = jnp.einsum("bdx,bdy->bxy", jac, jac)                    # (B, 3N, 3N)
 
-    w1 = exp_fac * XA * q / x_dists
+    w1 = exp_fac_h * XA_h * cast(q / x_dists)
     hess = jnp.einsum("bm,bmx,bmy->bxy", w1, XJ, XJ)
-    hess = hess - jnp.sum(exp_fac * XA, axis=1)[:, None, None] * JJ
-    cross = jnp.einsum("bm,bmx,bmy->bxy", exp_fac, AJ, XJ)
+    hess = hess - jnp.sum(exp_fac_h * XA_h, axis=1)[:, None, None] * JJ
+    cross = jnp.einsum("bm,bmx,bmy->bxy", exp_fac_h, AJ, XJ)
     hess = hess - cross - jnp.swapaxes(cross, 1, 2)
 
     # descriptor-curvature corrections, scatter-free:
     #   h1[b, d, u, v] contributes with sign pattern W_d = u_d u_d^T
     #   (replaces index_put_(accumulate=True), gdml_predictor.py:220-246)
-    h1 = (3.0 * (grad_x * xs**5)[:, :, None, None]
-          * diffs[:, :, :, None] * diffs[:, :, None, :])          # (B, D, 3, 3)
-    h2 = -grad_x * xs3                                            # (B, D)
+    h1 = (3.0 * (grad_x_h * xs_h**5)[:, :, None, None]
+          * diffs_h[:, :, :, None] * diffs_h[:, :, None, :])      # (B, D, 3, 3)
+    h2 = -grad_x_h * xs3_h                                        # (B, D)
 
-    corr1 = jnp.einsum("bduv,dac->baucv", h1, params.pair_outer)  # (B,N,3,N,3)
-    corr2 = jnp.einsum("bd,dac->bac", h2, params.pair_outer)      # (B, N, N)
-    corr = corr1 + corr2[:, :, None, :, None] * jnp.eye(3, dtype=r.dtype)[None, None, :, None, :]
+    corr1 = jnp.einsum("bduv,dac->baucv", h1, pair_outer_h)       # (B,N,3,N,3)
+    corr2 = jnp.einsum("bd,dac->bac", h2, pair_outer_h)           # (B, N, N)
+    corr = corr1 + corr2[:, :, None, :, None] * jnp.eye(3, dtype=ht)[None, None, :, None, :]
 
     hess = hess + corr.reshape(B, 3 * N, 3 * N)
-    hess = hess * params.std
+    hess = hess * cast(params.std)
 
     return energy, grad, hess
 
 
-gdml_forward_jit = jax.jit(gdml_forward, static_argnames=("order",))
+gdml_forward_jit = jax.jit(gdml_forward,
+                           static_argnames=("order", "hess_dtype"))

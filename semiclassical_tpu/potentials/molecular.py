@@ -91,21 +91,26 @@ class MolecularHarmonicPotential:
         return jnp.zeros_like(q)
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("hess_dtype",))
 class MolecularGDMLPotential:
     """sGDML machine-learned ground-state PES with constant NAC vector.
 
     (reference potentials.py:641-744; the batch layout is natively
     trajectory-leading here, so no permutes are needed)
+
+    `hess_dtype` selects the TPU mixed mode: f64 energies/gradients (the
+    action phase needs them) with an f32 Hessian for the monodromy blocks
+    — ~137x faster than emulated-f64 Hessians on TPU (BASELINE.md).
     """
 
     gdml: GDMLParams
     nac0: jnp.ndarray    # (d,)
     mass: jnp.ndarray    # (d,)
     origin: jnp.ndarray  # ()
+    hess_dtype: str
 
     @staticmethod
-    def create(model_pot, nac_fchk, dtype=jnp.float64):
+    def create(model_pot, nac_fchk, dtype=jnp.float64, hess_dtype=None):
         gdml = GDMLParams.from_npz(model_pot, dtype=dtype)
         nac0 = nac_fchk.nonadiabatic_coupling()
         model_z = np.asarray(dict(model_pot)["z"])
@@ -119,6 +124,7 @@ class MolecularGDMLPotential:
             nac0=jnp.asarray(nac0, dtype=dtype),
             mass=jnp.asarray(mass, dtype=dtype),
             origin=jnp.asarray(0.0, dtype=dtype),
+            hess_dtype="" if hess_dtype is None else jnp.dtype(hess_dtype).name,
         )
 
     def dimensions(self) -> int:
@@ -131,7 +137,9 @@ class MolecularGDMLPotential:
         return self.origin
 
     def local_expansion(self, q):
-        v, grad, hess = gdml_forward(self.gdml, q, order=2)
+        v, grad, hess = gdml_forward(
+            self.gdml, q, order=2,
+            hess_dtype=self.hess_dtype or None)
         return v - self.origin, grad, DenseHessian(mat=hess)
 
     def derivative_coupling_1st(self, q):

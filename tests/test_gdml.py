@@ -112,3 +112,23 @@ def test_against_torch_reference(model_and_coords):
     assert np.linalg.norm(en_ref - np.asarray(en)) / n < 1e-6
     assert np.linalg.norm(grad_ref - np.asarray(grad)) / n < 1e-6
     assert np.linalg.norm(hess_ref - np.asarray(hess)) / n < 1e-5
+
+
+def test_gdml_mixed_hessian(model_and_coords):
+    """The TPU mixed mode: f64 energies/gradients (absolute energies are
+    O(1e2) Ha and feed the action phase — pure f32 loses ~1 Ha to
+    cancellation) with the expensive second-derivative contractions in f32
+    (hess_dtype). The f32 Hessian must sit well inside the sGDML model
+    error (~1e-3) of the full-f64 one, and energy/gradient must be
+    bit-identical to the f64 path."""
+    p64, r0, model = model_and_coords
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(r0 + 0.02 * rng.standard_normal((8, r0.shape[1])))
+    e64, g64, h64 = gdml_forward(p64, r, order=2)
+    em, gm, hm = gdml_forward(p64, r, order=2, hess_dtype=jnp.float32)
+    assert hm.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(e64))
+    np.testing.assert_array_equal(np.asarray(gm), np.asarray(g64))
+    scale = np.abs(np.asarray(h64)).max()
+    assert (np.abs(np.asarray(hm) - np.asarray(h64)).max()
+            < 1e-4 * scale), scale
