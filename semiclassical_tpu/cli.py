@@ -167,7 +167,8 @@ def _build_potential(task):
         with open(p["coupling"]) as f:
             nacs_fchk = FormattedCheckpointFile(f)
         potential = potentials.MolecularGDMLPotential.create(
-            model_pot, nacs_fchk)
+            model_pot, nacs_fchk,
+            hess_dtype=p.get("hess_dtype") or None)
         with open(p["excited"]) as f:
             excited_fchk = FormattedCheckpointFile(f)
         x0, Gamma_0, en_zpt = excited_fchk.vibrational_groundstate()

@@ -26,7 +26,8 @@ class ConfigurationError(Exception):
 
 _POTENTIAL_KEYS = {
     "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
-    "gdml": {"type": str, "ground": str, "excited": str, "coupling": str},
+    "gdml": {"type": str, "ground": str, "excited": str, "coupling": str,
+             "hess_dtype": str},
     "anharmonic AS": {"type": str, "model_file": str},
 }
 
