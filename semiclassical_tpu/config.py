@@ -31,6 +31,15 @@ _POTENTIAL_KEYS = {
     "anharmonic AS": {"type": str, "model_file": str},
 }
 
+# Keys that are resolved with a default at the use site (reference resolves
+# *every* potential keyword with `.get`, reference cli.py:210-216) — they
+# are type-checked when present but never demanded.
+_POTENTIAL_OPTIONAL = {
+    "harmonic": set(),
+    "gdml": {"hess_dtype"},
+    "anharmonic AS": set(),
+}
+
 _DYNAMICS_SCHEMA = {
     "task": str,
     "potential": dict,
@@ -109,7 +118,7 @@ def validate_task(task):
                 f"got {ptype!r}")
         _check_keys(f"potential ({ptype})", pot, _POTENTIAL_KEYS[ptype])
         for key in _POTENTIAL_KEYS[ptype]:
-            if key not in pot:
+            if key not in pot and key not in _POTENTIAL_OPTIONAL[ptype]:
                 raise ConfigurationError(
                     f"potential ({ptype}) is missing the required keyword "
                     f"'{key}'")

@@ -52,6 +52,26 @@ def test_bad_broadening():
         validate_task({"task": "rates", "broadening": "boxcar"})
 
 
+def test_gdml_without_optional_hess_dtype_is_valid():
+    # regression: hess_dtype is resolved with .get at the use site
+    # (cli.py _build_potential) and must not be demanded by the schema
+    validate_task(_dyn_task(potential={
+        "type": "gdml", "ground": "model.npz", "excited": "s1.fchk",
+        "coupling": "nacs.fchk"}))
+
+
+def test_gdml_with_hess_dtype_still_valid():
+    validate_task(_dyn_task(potential={
+        "type": "gdml", "ground": "model.npz", "excited": "s1.fchk",
+        "coupling": "nacs.fchk", "hess_dtype": "float32"}))
+
+
+def test_gdml_missing_required_ground():
+    with pytest.raises(ConfigurationError):
+        validate_task(_dyn_task(potential={
+            "type": "gdml", "excited": "s1.fchk", "coupling": "nacs.fchk"}))
+
+
 def test_unknown_key_warns(caplog):
     import logging
 

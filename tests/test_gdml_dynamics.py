@@ -17,6 +17,44 @@ from semiclassical_tpu.propagation import HermanKlukPropagator
 
 
 @pytest.mark.slow
+def test_main_gdml_dynamics_without_hess_dtype(ref_data, tmp_path,
+                                               monkeypatch):
+    """A gdml task without the *optional* hess_dtype keyword must run
+    through the real cli.main() path (validate_task + run) — regression for
+    the round-2 schema bug that demanded every potential key."""
+    import json
+
+    from semiclassical_tpu import cli
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    monkeypatch.chdir(tmp_path)
+    task = {
+        "task": "dynamics",
+        "potential": {
+            "type": "gdml",
+            "ground": str(model_path),
+            "excited": str(s1),
+            "coupling": str(s1),
+        },
+        "batch_size": 8,
+        "num_trajectories": 8,
+        "num_steps": 3,
+        "time_step_fs": 0.002,
+        "results": {"correlations": "correlations.npz"},
+    }
+    with open("input.json", "w") as f:
+        json.dump({"semi": [task]}, f)
+    assert cli.main(["dynamics", "input.json"]) == 0
+    d = np.load("correlations.npz")
+    assert np.isfinite(d["autocorrelation"]).all()
+
+
+@pytest.mark.slow
 def test_gdml_hk_dynamics(ref_data):
     model_path = (ref_data / "GDML"
                   / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
