@@ -83,6 +83,25 @@ def load_propagator_state(filename, propagator):
     """
     data = np.load(filename)
 
+    # With an active trajectory mesh, restored per-trajectory leaves (leading
+    # axis == ntraj) go back *sharded* over the `traj` axis and everything
+    # else replicated — restoring a 100k-trajectory state onto one chip of a
+    # mesh is an OOM/perf landmine at exactly the scale checkpointing exists
+    # for. Without a mesh the arrays stay uncommitted (single device).
+    mesh = getattr(propagator, "mesh", None)
+    ntraj = getattr(propagator, "ntraj", -1)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def sharding_for(shape):
+            if len(shape) and shape[0] == ntraj:
+                return NamedSharding(
+                    mesh, P("traj", *([None] * (len(shape) - 1))))
+            return NamedSharding(mesh, P())
+    else:
+        def sharding_for(shape):
+            return None
+
     def restore(prefix, tree):
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
         new_leaves = []
@@ -94,7 +113,8 @@ def load_propagator_state(filename, propagator):
                 f"{arr.shape} vs {leaf.shape}")
             # to_device ships complex leaves as two real arrays and
             # recombines them on device (TPU contract, see linalg.py)
-            new_leaves.append(to_device(arr, leaf.dtype))
+            new_leaves.append(to_device(arr, leaf.dtype,
+                                        sharding=sharding_for(arr.shape)))
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(tree), new_leaves)
 

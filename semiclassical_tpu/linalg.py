@@ -55,7 +55,7 @@ def real_dtype(cdtype):
     return jnp.float32 if jnp.dtype(cdtype) == jnp.complex64 else jnp.float64
 
 
-def to_device(x, dtype):
+def to_device(x, dtype, sharding=None):
     """np -> jnp conversion that works for complex on TPU backends.
 
     The axon TPU backend implements neither complex128 programs nor
@@ -63,14 +63,24 @@ def to_device(x, dtype):
     values *computed on device* are fine. So complex inputs are shipped as
     two real arrays and combined with lax.complex on device; real inputs
     take the plain path with the cast done host-side.
+
+    `sharding`, if given, places the transferred array (for complex inputs:
+    each real plane, so the combine happens shard-local and no complex
+    array is ever resharded).
     """
     dtype = jnp.dtype(dtype)
     x = np.asarray(x)
+
+    def place(arr):
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jnp.asarray(arr)
+
     if jnp.issubdtype(dtype, jnp.complexfloating):
         rtype = np.float32 if dtype == jnp.complex64 else np.float64
-        return jax.lax.complex(jnp.asarray(x.real.astype(rtype)),
-                               jnp.asarray(x.imag.astype(rtype)))
-    return jnp.asarray(x.astype(dtype.type))
+        return jax.lax.complex(place(x.real.astype(rtype)),
+                               place(x.imag.astype(rtype)))
+    return place(x.astype(dtype.type))
 
 
 def from_device(x):

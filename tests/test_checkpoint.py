@@ -70,6 +70,65 @@ def test_chunked_propagation_matches_single_scan():
     np.testing.assert_allclose(kb, ka, rtol=1e-12, atol=1e-14)
 
 
+def test_restore_preserves_ensemble_sharding(tmp_path):
+    """A checkpoint saved from a mesh-sharded run must come back *sharded*
+    when restored into a mesh-initialised propagator — restoring a
+    100k-trajectory state unsharded is an OOM/perf landmine at exactly the
+    scale checkpointing exists for — and the resumed physics must match the
+    single-device resume."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from semiclassical_tpu.checkpoint import (
+        load_propagator_state,
+        save_propagator_state,
+    )
+    from semiclassical_tpu.parallel import ensemble_mesh
+
+    pot = NonHarmonicPotential.create()
+    Gi = np.array([[2 * 2.5]])
+    G0 = np.array([[1.0]])
+    mesh = ensemble_mesh()
+    dt, nt1, nt2, en0 = 0.02, 12, 13, 0.5
+
+    def make(mesh, key=5):
+        prop = HermanKlukPropagator(Gi, Gi)
+        prop.initial_conditions(np.array([7.3]), np.array([0.0]), G0,
+                                ntraj=2048, key=key, potential=pot,
+                                mesh=mesh)
+        return prop
+
+    # run sharded, checkpoint mid-flight
+    prop_a = make(mesh)
+    prop_a.propagate(pot, dt, nt1, energy0_es=en0)
+    ckpt = str(tmp_path / "sharded.npz")
+    save_propagator_state(ckpt, prop_a)
+
+    # restore into a fresh *mesh-initialised* propagator (different key —
+    # overwritten by the checkpoint) and check every per-trajectory leaf
+    # kept its NamedSharding over the traj axis
+    prop_b = make(mesh, key=999)
+    load_propagator_state(ckpt, prop_b)
+    for leaf in jax.tree.leaves((prop_b.state, prop_b.trackers)):
+        assert isinstance(leaf.sharding, NamedSharding), leaf.sharding
+        if leaf.ndim and leaf.shape[0] == 2048:
+            assert leaf.sharding.spec[0] == "traj", (
+                f"per-trajectory leaf restored unsharded: {leaf.sharding}")
+    c_sharded, k_sharded = prop_b.propagate(pot, dt, nt2, energy0_es=en0)
+
+    # the resumed run must equal the unsharded checkpoint+resume
+    prop_c = make(None)
+    prop_c.propagate(pot, dt, nt1, energy0_es=en0)
+    ckpt1 = str(tmp_path / "single.npz")
+    save_propagator_state(ckpt1, prop_c)
+    prop_d = make(None, key=999)
+    load_propagator_state(ckpt1, prop_d)
+    c_single, k_single = prop_d.propagate(pot, dt, nt2, energy0_es=en0)
+
+    np.testing.assert_allclose(c_sharded, c_single, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(k_sharded, k_single, rtol=1e-12, atol=1e-14)
+
+
 def test_wm_checkpoint_roundtrip(tmp_path):
     from semiclassical_tpu.checkpoint import (
         load_propagator_state,
