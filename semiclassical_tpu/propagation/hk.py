@@ -549,6 +549,8 @@ class HermanKlukPropagator:
         logger.info(f"zero dimensions        :  "
                     f"{self.params.dim - self.params.rank}")
         logger.info(f"number of trajectories :  {ntraj}")
+        from semiclassical_tpu.sampling import log_sampling_statistics
+        log_sampling_statistics(sampling, qi, pi)
 
         self.ntraj = ntraj
         self.state = TrajState.initial(qi, pi, dtype=self.traj_dtype,

@@ -28,7 +28,8 @@ from semiclassical_tpu.pytree import pytree_dataclass
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["SamplingParams", "sample_initial_conditions"]
+__all__ = ["SamplingParams", "sample_initial_conditions",
+           "sampling_statistics", "log_sampling_statistics"]
 
 
 @pytree_dataclass(meta=("dim", "rank"))
@@ -131,3 +132,47 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
                 - d * np.log(2.0 * np.pi)
                 - 0.5 * jnp.sum(x64 * x64, axis=1))
     return q, p, log_prob
+
+
+def sampling_statistics(params: SamplingParams, q, p):
+    """Deviation of the sample moments from the analytic distribution.
+
+    The sampled phase-space points are z = z0 + x iLz with x ~ N(0, 1), so
+    the exact moments are E[z] = z0 and cov(z) = iLz^T iLz (singular on the
+    zero modes, which are never sampled). Returns the maximum deviations in
+    *standard-deviation units* — mean deviation over sigma_i, covariance
+    deviation over sigma_i sigma_j, skipping zero modes — as floats, one
+    device fetch. In these units a healthy sampler sits at ~sqrt(2/ntraj)
+    regardless of how wildly the mode widths differ.
+
+    This is the live Monte-Carlo sanity check the reference prints at every
+    `initial_conditions` (reference propagators.py:570-578); a blown-up
+    deviation at large ntraj flags a broken sampler or RNG stream long
+    before the correlation functions look wrong.
+    """
+    z = jnp.concatenate([jnp.asarray(q, dtype=jnp.float64),
+                         jnp.asarray(p, dtype=jnp.float64)], axis=1)
+    n = z.shape[0]
+    mean = jnp.mean(z, axis=0)
+    dz = z - mean[None, :]
+    cov = (dz.T @ dz) / max(n - 1, 1)
+    iLz = jnp.asarray(params.iLz, dtype=jnp.float64)
+    ana_cov = iLz.T @ iLz
+    sigma = jnp.sqrt(jnp.diagonal(ana_cov))
+    live = sigma > 0.0                      # zero modes are never sampled
+    scale = jnp.where(live, sigma, 1.0)
+    mean_dev = jnp.max(
+        jnp.where(live, jnp.abs(mean - params.z0.astype(jnp.float64)), 0.0)
+        / scale)
+    pair_live = live[:, None] & live[None, :]
+    cov_dev = jnp.max(
+        jnp.where(pair_live, jnp.abs(cov - ana_cov), 0.0)
+        / (scale[:, None] * scale[None, :]))
+    return float(mean_dev), float(cov_dev)
+
+
+def log_sampling_statistics(params: SamplingParams, q, p):
+    mean_dev, cov_dev = sampling_statistics(params, q, p)
+    logger.info(f"max |<z> - z0| / sigma           :  {mean_dev:.6f}")
+    logger.info(f"max |cov(z) - analytic| / sigma2 :  {cov_dev:.6f}")
+    return mean_dev, cov_dev

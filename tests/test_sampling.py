@@ -39,6 +39,39 @@ def test_sampling_moments_full_rank():
     assert np.isfinite(np.asarray(log_prob)).all()
 
 
+def test_sampling_statistics_runtime_diagnostic(caplog):
+    """The live mean/cov deviation readout must be small for a healthy
+    sampler and appear in the initial_conditions log."""
+    import logging
+
+    from semiclassical_tpu.sampling import sampling_statistics
+
+    d = 2
+    G0 = np.diag([1.0, 0.6])
+    q0 = np.array([0.3, -0.2])
+    p0 = np.array([0.1, 0.0])
+    params = SamplingParams.create(q0, p0, G0, G0)
+    q, p, _ = sample_initial_conditions(params, jax.random.key(3), 100000)
+    mean_dev, cov_dev = sampling_statistics(params, q, p)
+    assert mean_dev < 0.02
+    assert cov_dev < 0.03
+
+    # surfaced at run time by initial_conditions (reference
+    # propagators.py:570-578)
+    from semiclassical_tpu.potentials import MorsePotential
+    from semiclassical_tpu.propagation import HermanKlukPropagator
+
+    pot = MorsePotential.create(np.array([0.01, 0.008]),
+                                np.array([0.02, 0.02]),
+                                np.array([0.5, -0.3]))
+    Gamma = np.diag([0.01, 0.008])
+    prop = HermanKlukPropagator(Gamma, Gamma)
+    with caplog.at_level(logging.INFO):
+        prop.initial_conditions(q0, p0, Gamma, ntraj=512, key=0,
+                                potential=pot)
+    assert "cov(z) - analytic" in caplog.text
+
+
 def test_sampling_zero_modes():
     """Zero-frequency modes are excluded: samples stay at the center."""
     d = 4
