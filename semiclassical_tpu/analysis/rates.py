@@ -47,27 +47,24 @@ def rate_from_correlation(times, correlation, lineshape):
     )
     nt = times.shape[0]
     t_max = times.max()
+    n_sym = 2 * nt - 1
 
-    # k~(t) was sampled on [0, t_max]; the Fourier transform needs the
-    # symmetric interval [-t_max, t_max]. Negative times are filled in from
-    # the symmetry k(-t) = k(t)^*.
-    times_ = np.linspace(-t_max, t_max, 2 * nt - 1)
-    energies = fft.fftfreq(2 * nt - 1) * (2 * nt - 1) / (2 * t_max) * 2.0 * np.pi
+    # Hermitian extension onto [-t_max, t_max]: only t >= 0 was propagated;
+    # k(-t) = k(t)^* because k(E) is real.
+    t_sym = np.linspace(-t_max, t_max, n_sym)
+    corr_sym = np.concatenate([correlation[:0:-1].conj(), correlation])
 
-    correlation_ = np.zeros(2 * nt - 1, dtype=complex)
-    correlation_[(2 * nt - 1) // 2:] = correlation
-    correlation_[: (2 * nt - 1) // 2] = (correlation[1:].conj())[::-1]
+    # The integration window is the lineshape times a cos^2 (Gibbs) taper
+    # that takes the integrand smoothly to zero at +-t_max, suppressing the
+    # ringing of the hard cutoff. The taper also means a too-short t_max
+    # yields rates set by the window, not the physics — t_max must be
+    # converged until the rate curve stops moving.
+    window = lineshape(t_sym) * np.cos(0.5 * np.pi * t_sym / t_max) ** 2
 
-    lineshape_t = lineshape(times_)
+    # ifft computes the mean over the grid (1/N included); scaling by the
+    # window length 2 t_max turns that mean into the Fourier integral
+    rate = 2 * t_max * fft.ifft(fft.ifftshift(window * corr_sym))
+    rate *= 1.0e15 / units.autime_to_fs     # a.u.(time)^-1 -> s^-1
 
-    # Gibbs switching function damps k~(t) to 0 at t = t_max.
-    # WARNING: if the propagation time is too short, the rates are determined
-    # by the damping function rather than the correlation function.
-    damp = np.cos(0.5 * np.pi * times_ / t_max) ** 2
-
-    rate = 2 * t_max * fft.ifft(fft.ifftshift(damp * lineshape_t * correlation_))
-
-    # convert from atomic units to s^-1
-    rate *= 1.0e15 / units.autime_to_fs
-
+    energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=2.0 * t_max / n_sym)
     return fft.fftshift(energies), fft.fftshift(rate)

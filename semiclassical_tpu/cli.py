@@ -528,68 +528,64 @@ def _export_tables(filename):
 
 
 def _plot_correlation_functions(filenames):
-    """Plot correlations and rates (reference cli.py:630-706)."""
+    """Render C(t), k~ic(t) and k_IC(E) for one or more results files.
+
+    Capability parity with the reference's plot command (cli.py:630-706);
+    the figure layout and rate readout are this framework's own: the rate at
+    the adiabatic gap is marked with an annotated point instead of guide
+    lines, and each file's propagator/trajectory count rides in its legend
+    entry rather than a figure title.
+    """
     from semiclassical_tpu import units
 
-    import matplotlib
-    matplotlib.rc("xtick", labelsize=12)
-    matplotlib.rc("ytick", labelsize=12)
-    matplotlib.rc("legend", fontsize=12)
-    matplotlib.rc("axes", labelsize=12)
     import matplotlib.pyplot as plt
 
-    plt.figure(figsize=(12.0, 6.0))
-    ax1 = plt.subplot(1, 3, 1)
-    ax1.set_xlabel("Time / fs")
-    ax1.set_ylabel(r"Autocorrelation "
-                   r"$e^{\frac{\imath}{\hbar} E_0^{(es)} t} "
-                   r"\langle \phi(0) | \phi(t) \rangle$")
-    ax2 = plt.subplot(1, 3, 2)
-    ax2.set_xlabel("Time / fs")
-    ax2.set_ylabel("IC correlation")
-    ax3 = plt.subplot(1, 3, 3)
-    ax3.set_xlabel("Energy / eV")
-    ax3.set_ylabel("IC rate (log) / s$^{-1}$")
-    ax3.set_yscale("log")
-    ax3.set_xlim((0.0, 10.0))
+    fig, (ax_auto, ax_ic, ax_rate) = plt.subplots(
+        1, 3, figsize=(13.0, 5.0))
 
-    trajectories, propagators = [], []
-    linestyles = ["-", "--", "-.", ":"]
-
-    for ifile, filename in enumerate(filenames):
+    for filename in filenames:
         data = np.load(filename)
-        linestyle = linestyles[ifile % len(linestyles)]
-        trajectories.append(int(data["trajectories"]))
-        propagators.append(str(data["propagator"]))
+        t_fs = data["times"] * units.autime_to_fs
+        tag = (f"{filename} [{data['propagator']}, "
+               f"{int(data['trajectories'])} traj]")
 
-        lre, = ax1.plot(data["times"] * units.autime_to_fs,
-                        data["autocorrelation"].real, ls=linestyle)
-        lim, = ax1.plot(data["times"] * units.autime_to_fs,
-                        data["autocorrelation"].imag, ls=linestyle)
-        ax2.plot(data["times"] * units.autime_to_fs,
-                 data["ic_correlation"].real, ls=linestyle,
-                 color=lre.get_color(), label=f"Re[{filename}]")
-        ax2.plot(data["times"] * units.autime_to_fs,
-                 data["ic_correlation"].imag, ls=linestyle,
-                 color=lim.get_color(), label=f"Im[{filename}]")
+        for ax, key in ((ax_auto, "autocorrelation"),
+                        (ax_ic, "ic_correlation")):
+            curve = data[key]
+            line, = ax.plot(t_fs, curve.real, label=f"Re {tag}")
+            ax.plot(t_fs, curve.imag, ls="--", alpha=0.6,
+                    color=line.get_color(), label=f"Im {tag}")
 
         if "ic_rate" in data:
-            lic, = ax3.plot(data["energies"] * units.hartree_to_ev,
-                            data["ic_rate"], ls=linestyle)
-            if not np.isnan(data["adiabatic_gap"]):
-                iclosest = np.argmin(
-                    abs(data["energies"] - data["adiabatic_gap"]))
-                kic = data["ic_rate"][iclosest]
-                ax3.axvline(x=data["adiabatic_gap"] * units.hartree_to_ev,
-                            ymax=kic, color=lic.get_color(), ls=linestyle,
-                            lw=0.5)
-                ax3.axhline(y=kic,
-                            xmax=data["adiabatic_gap"] * units.hartree_to_ev,
-                            color=lic.get_color(), ls=linestyle, lw=0.5)
+            en_ev = data["energies"] * units.hartree_to_ev
+            line, = ax_rate.plot(en_ev, data["ic_rate"], label=tag)
+            gap = float(data["adiabatic_gap"])
+            if np.isfinite(gap):
+                idx = int(np.argmin(np.abs(data["energies"] - gap)))
+                kic = data["ic_rate"][idx]
+                ax_rate.plot([gap * units.hartree_to_ev], [kic], "o",
+                             color=line.get_color())
+                ax_rate.annotate(
+                    f"{kic:.2e}" r" s$^{-1}$",
+                    (gap * units.hartree_to_ev, kic),
+                    textcoords="offset points", xytext=(6, 6),
+                    fontsize=9, color=line.get_color())
 
-    plt.suptitle(f"trajectories: {trajectories}, propagators: {propagators}")
-    ax2.legend(bbox_to_anchor=(1.05, 1.0))
-    plt.tight_layout()
+    ax_auto.set_title("autocorrelation")
+    ax_auto.set_xlabel("time / fs")
+    ax_auto.set_ylabel(r"$e^{i E_0^{(es)} t / \hbar}"
+                       r"\,\langle\phi(0)|\phi(t)\rangle$")
+    ax_ic.set_title("IC correlation")
+    ax_ic.set_xlabel("time / fs")
+    ax_ic.set_ylabel(r"$\tilde{k}_{IC}(t)$")
+    ax_ic.legend(fontsize=8)
+    ax_rate.set_title("IC rate (dot: at adiabatic gap)")
+    ax_rate.set_xlabel("energy gap / eV")
+    ax_rate.set_ylabel(r"$k_{IC}(E)$ / s$^{-1}$")
+    ax_rate.set_yscale("log")
+    ax_rate.set_xlim(0.0, 10.0)
+    ax_rate.legend(fontsize=8)
+    fig.tight_layout()
     plt.show()
 
 
