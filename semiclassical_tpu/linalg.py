@@ -447,13 +447,112 @@ def _det_peel(M: jax.Array, b: int = 12) -> jax.Array:
     return det * detA
 
 
+# Above this size one block-Schur level splits the matrix before the fused
+# Pallas Gauss-Jordan: the kernel's VPU flops are 8 m^3 per trajectory, so
+# halving m at the cost of a few MXU matmuls wins 4x (and keeps the static
+# unroll, hence compile time, at HK-kernel scale). 2r = 120 at the 60-mode
+# flagship splits into two r = 60 kernel calls.
+_GJ_LEAF = 64
+
+
+def _det_inv_lanes_blocked(A: jax.Array):
+    """(det, inv) with the fused lanes Gauss-Jordan kernel at the leaves and
+    block-Schur levels above `_GJ_LEAF`. A is (n, m, m) complex."""
+    from semiclassical_tpu.ops import pallas_batched_det_inv_lanes
+
+    m = A.shape[-1]
+    if m <= 2:
+        return _det_inv_schur(A)
+    if m <= _GJ_LEAF:
+        return pallas_batched_det_inv_lanes(A)
+    r1 = m // 2
+    A11 = A[..., :r1, :r1]
+    A12 = A[..., :r1, r1:]
+    A21 = A[..., r1:, :r1]
+    A22 = A[..., r1:, r1:]
+    det1, i11 = _det_inv_lanes_blocked(A11)
+    i11_A12 = i11 @ A12
+    S = A22 - A21 @ i11_A12
+    det2, iS = _det_inv_lanes_blocked(S)
+    A21_i11 = A21 @ i11
+    top_right = -i11_A12 @ iS
+    inv = jnp.concatenate([
+        jnp.concatenate([i11 - top_right @ A21_i11, top_right], axis=-1),
+        jnp.concatenate([-iS @ A21_i11, iS], axis=-1),
+    ], axis=-2)
+    return det1 * det2, inv
+
+
+def _mT_b(M, B):
+    """M^T @ B batched — einsum reads the transpose for free in the matmul
+    lowering (no materialised transpose pass)."""
+    return jnp.einsum("nba,nbj->naj", M, B)
+
+
+def _det_solveT_lanes(A: jax.Array, B: jax.Array):
+    """(det(A), A^{-T} B) without materialising the full inverse above the
+    kernel leaf size: one block-Schur level per factor of 2, with the
+    half-size inverses from the fused Gauss-Jordan kernel and the solve
+    propagated through the block formulas. For the (n, 2r, 2r) WM A-matrix
+    this replaces the (n, 2r, 2r) inverse materialisation + big concats +
+    a full-width multiply with five half-width multiplies — the profile
+    showed the inverse assembly was ~30% of the WM step."""
+    m = A.shape[-1]
+    if m <= 2:
+        det, inv = _det_inv_schur(A)
+        return det, _mT_b(inv, B)
+    if m <= _GJ_LEAF:
+        from semiclassical_tpu.ops import pallas_batched_det_inv_lanes
+        det, inv = pallas_batched_det_inv_lanes(A)
+        return det, _mT_b(inv, B)
+    r1 = m // 2
+    A11 = A[..., :r1, :r1]
+    A12 = A[..., :r1, r1:]
+    A21 = A[..., r1:, :r1]
+    A22 = A[..., r1:, r1:]
+    det1, i11 = _det_inv_lanes_blocked(A11)
+    S = A22 - A21 @ (i11 @ A12)
+    B1 = B[..., :r1, :]
+    B2 = B[..., r1:, :]
+    # A^{-T} through the Schur blocks of A^T (whose Schur complement is S^T)
+    t1 = _mT_b(i11, B1)
+    det2, Y2 = _det_solveT_lanes(S, B2 - _mT_b(A12, t1))
+    Y1 = _mT_b(i11, B1 - _mT_b(A21, Y2))
+    return det1 * det2, jnp.concatenate([Y1, Y2], axis=-2)
+
+
+def batched_det_solve_t(A: jax.Array, B: jax.Array):
+    """(det(A), A^{-T} B) for A (..., m, m), B (..., m, k).
+
+    The fused form callers want when the inverse only ever appears as
+    A^{-T} @ (tall block) — the WM prefactor's Y = iAb^T P."""
+    impl = _resolve_impl()
+    if impl in ("lanes", "pallas") and A.shape[-1] > 2:
+        shape = A.shape
+        det, Y = _det_solveT_lanes(
+            A.reshape((-1,) + shape[-2:]),
+            B.reshape((-1,) + B.shape[-2:]))
+        return det.reshape(shape[:-2]), Y.reshape(B.shape)
+    det, inv = batched_det_inv(A)
+    return det, jnp.einsum("...ba,...bj->...aj", inv, B)
+
+
 def batched_det_inv(A: jax.Array):
-    """(det, inv) of a batch of small (complex) matrices, shape (n, r, r).
+    """(det, inv) of a batch of small (complex) matrices, shape
+    (..., r, r) — any number of leading batch dims.
 
     One fused computation — callers needing both (the WM prefactor) avoid
-    paying for two factorizations.
+    paying for two factorizations. On TPU this is the in-VMEM Gauss-Jordan
+    lanes kernel (with block-Schur splitting above 64), elsewhere the
+    matmul-only Schur recursion or LAPACK.
     """
-    if _resolve_impl() in ("jax", "lanes", "pallas"):
+    impl = _resolve_impl()
+    if impl in ("lanes", "pallas") and A.shape[-1] > 2:
+        shape = A.shape
+        det, inv = _det_inv_lanes_blocked(
+            A.reshape((-1,) + shape[-2:]))
+        return det.reshape(shape[:-2]), inv.reshape(shape)
+    if impl in ("jax", "lanes", "pallas"):
         return _det_inv_schur(A)
     return jnp.linalg.det(A), jnp.linalg.inv(A)
 

@@ -48,7 +48,8 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAVE_PLTPU = False
 
-__all__ = ["pallas_batched_det", "pallas_batched_det_lanes"]
+__all__ = ["pallas_batched_det", "pallas_batched_det_lanes",
+           "pallas_batched_det_inv_lanes"]
 
 LANES = 128
 
@@ -307,3 +308,130 @@ def pallas_batched_det_lanes(A: jax.Array, tile: int = 128,
     take = lambda o: o.reshape(ntiles, 8, tile)[:, 0, :].reshape(-1)[:n]
     det = jax.lax.complex(take(out_re), take(out_im))
     return det
+
+
+# ---------------------------------------------------------------------------
+# Fused determinant + inverse: in-place complex Gauss-Jordan in the same
+# trajectory-in-lanes layout.
+#
+# The WM propagator needs BOTH det and inv of its per-trajectory A and M
+# matrices every step (reference propagators.py:1232-1336). The round-2 path
+# (matmul-only Schur recursion) is dispatch-bound: depth-log2(r) recursion
+# bottoming out in hundreds of (n,)-sized complex ops. Here one kernel
+# eliminates in place: per pivot k the full matrix takes a rank-1 complex
+# update (row k is the scaled pivot row, column k collects the inverse
+# factors), so after r steps the scratch buffer *is* A^{-1} and the running
+# pivot product is det(A). m^3 complex MACs per trajectory (~8 m^3 VPU
+# flops), every slice static, one scratch buffer. No pivoting — the WM
+# matrices are balanced to O(1) diagonal dominance before the call
+# (wm.py Dbal); accuracy is cross-checked against LAPACK in the tests.
+# ---------------------------------------------------------------------------
+
+def _gj_det_inv_lanes_kernel(a_in, inv_ref, out_re_ref, out_im_ref, a_ref):
+    m, m2, T = a_in.shape  # m2 = 2 m; sublanes [re | im] cols; lanes = traj
+    a_ref[:] = a_in[:]
+
+    det_re = jnp.ones((1, T), jnp.float32)
+    det_im = jnp.zeros((1, T), jnp.float32)
+
+    for k in range(m):  # static unroll: every slice below is static
+        p_re = a_ref[k, k:k + 1, :]                      # (1, T)
+        p_im = a_ref[k, m + k:m + k + 1, :]
+
+        det_re, det_im = (det_re * p_re - det_im * p_im,
+                          det_re * p_im + det_im * p_re)
+
+        inv_den = 1.0 / (p_re * p_re + p_im * p_im)
+        ip_re = p_re * inv_den
+        ip_im = -p_im * inv_den
+
+        # scaled pivot row rs = row_k / p
+        row = a_ref[k]                                   # (2m, T)
+        row_re, row_im = row[:m, :], row[m:, :]
+        rs_re = row_re * ip_re - row_im * ip_im          # (m, T)
+        rs_im = row_re * ip_im + row_im * ip_re
+        rs = jnp.concatenate([rs_re, rs_im], axis=0)     # (2m, T)
+        rs_i = jnp.concatenate([-rs_im, rs_re], axis=0)  # i * rs
+
+        # pivot column (saved before the update)
+        c_re = a_ref[:, k, :]                            # (m, T)
+        c_im = a_ref[:, m + k, :]
+
+        # rank-1 elimination of ALL rows: row k becomes 0 (c_k = p,
+        # p * rs = row_k) and is restored to rs right after
+        a_ref[:] = (a_ref[:] - c_re[:, None, :] * rs[None]
+                    - c_im[:, None, :] * rs_i[None])
+        a_ref[k] = rs
+
+        # column k collects the inverse factors: -c / p off-diagonal,
+        # 1 / p on the pivot
+        a_ref[:, k, :] = -(c_re * ip_re - c_im * ip_im)
+        a_ref[:, m + k, :] = -(c_re * ip_im + c_im * ip_re)
+        a_ref[k, k:k + 1, :] = ip_re
+        a_ref[k, m + k:m + k + 1, :] = ip_im
+
+    inv_ref[:] = a_ref[:]
+    out_re_ref[:] = jnp.broadcast_to(det_re, out_re_ref.shape)
+    out_im_ref[:] = jnp.broadcast_to(det_im, out_im_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pallas_batched_det_inv_lanes(A: jax.Array, tile: int = 128):
+    """(det, inv) of a batch of complex64 matrices, shape (n, m, m).
+
+    Trajectory-in-lanes in-place Gauss-Jordan; n is padded to a multiple of
+    `tile` with identity matrices (det = 1, inv = I)."""
+    n, m, _ = A.shape
+    Are = jnp.real(A).astype(jnp.float32)
+    Aim = jnp.imag(A).astype(jnp.float32)
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32),
+                               (n_pad - n, m, m))
+        Are = jnp.concatenate([Are, eye], axis=0)
+        Aim = jnp.concatenate([Aim, jnp.zeros((n_pad - n, m, m),
+                                              jnp.float32)], axis=0)
+    # (n, m, m) -> (m, 2m, n): row index outer, [re | im] cols in sublanes
+    pack = jnp.concatenate([jnp.transpose(Are, (1, 2, 0)),
+                            jnp.transpose(Aim, (1, 2, 0))], axis=1)
+
+    ntiles = n_pad // tile
+    kwargs = {}
+    if _HAVE_PLTPU and jax.default_backend() == "tpu":
+        in_spec = pl.BlockSpec((m, 2 * m, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        inv_spec = pl.BlockSpec((m, 2 * m, tile), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        det_spec = lambda: pl.BlockSpec((8, tile), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    else:
+        in_spec = pl.BlockSpec((m, 2 * m, tile), lambda i: (0, 0, i))
+        inv_spec = pl.BlockSpec((m, 2 * m, tile), lambda i: (0, 0, i))
+        det_spec = lambda: pl.BlockSpec((8, tile), lambda i: (i, 0))
+        kwargs["interpret"] = True
+    scratch = [pltpu.VMEM((m, 2 * m, tile), jnp.float32)]
+
+    # see pallas_batched_det: gridded kernels must be traced in 32-bit mode
+    with jax.enable_x64(False):
+        inv_pack, out_re, out_im = pl.pallas_call(
+            _gj_det_inv_lanes_kernel,
+            grid=(ntiles,),
+            in_specs=[in_spec],
+            out_specs=(inv_spec, det_spec(), det_spec()),
+            out_shape=(
+                jax.ShapeDtypeStruct((m, 2 * m, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((8 * ntiles, tile), jnp.float32),
+                jax.ShapeDtypeStruct((8 * ntiles, tile), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            **kwargs,
+        )(pack)
+
+    take = lambda o: o.reshape(ntiles, 8, tile)[:, 0, :].reshape(-1)[:n]
+    det = jax.lax.complex(take(out_re), take(out_im))
+    inv = jax.lax.complex(
+        jnp.transpose(inv_pack[:, :m, :n], (2, 0, 1)),
+        jnp.transpose(inv_pack[:, m:, :n], (2, 0, 1)))
+    return det, inv

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from semiclassical_tpu import linalg
+from semiclassical_tpu.coherent import complex_exp
 from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
                                       times_i, to_device)
 from semiclassical_tpu.propagation.eom import rk4_step
@@ -83,6 +84,9 @@ class WMParams:
                              #     combined in log space
     coef_pref: jnp.ndarray   # ()  detG0^{1/4} detGt^{1/4} detGi^{1/4}
                              #     / detGi0^{1/2}
+    log_coef_pref: jnp.ndarray  # () f64  log of coef_pref — the range-safe
+                                # representation (coef_pref itself underflows
+                                # f32 beyond ~40 modes)
     Gt: jnp.ndarray          # (d, d)  Gamma_t
     A_const: jnp.ndarray     # (2r, 2r) complex: 2 F' + [[U^T Gi U, 0],[0,0]]
                              #                   - 2i/hbar [[0,0],[I_r,0]]
@@ -94,6 +98,18 @@ class WMParams:
     m_scale: jnp.ndarray     # ()  2 pi exp(m_log_det / r)
     Dbal: jnp.ndarray        # (2r, 2r) real blockdiag(W^{-1/2}, W^{1/2}),
                              # W = U^T G0 U: det-preserving balancing of A
+    # --- scan fast path: balanced-and-scaled constants (see wm_scan_derived).
+    # U1 = U W^{-1/2} / sqrt(s), U2 = U W^{1/2} / sqrt(s), s = 2 sqrt(alpha
+    # beta): projecting the monodromy blocks with U1/U2 *is* the balancing
+    # conjugation D (.) D / s — zero runtime cost (the round-2 explicit
+    # einsum conjugation was ~17% of the WM step, HBM-bound).
+    U1: jnp.ndarray          # (d, r) real
+    U2: jnp.ndarray          # (d, r) real
+    A_const_b: jnp.ndarray   # (2r, 2r) complex  D A_const D / s
+    BqUb: jnp.ndarray        # (d, 2r) complex  Bq U2r D / sqrt(s)
+    Fq: jnp.ndarray          # (d, 2r) complex  G0 [Gi+G0]^{-1} BqUb
+    C2b: jnp.ndarray         # (2r, 2r) complex BqUb^T [Gi+G0]^{-1} BqUb
+    M0: jnp.ndarray          # (r, r) real      U^T (G0 + Gt) U
     dim: int
     rank: int
     m_log_det: float         # static: log of the factored-out detM scale
@@ -108,6 +124,8 @@ class WMBatchConstants:
     PIq: jnp.ndarray     # (n, d) eqn. 72 with pi_i = p (time-independent)
     n1q: jnp.ndarray     # (n, d) -hbar^2 tau1(q)/m
     n2q: jnp.ndarray     # (n,)   -hbar^2/2 sum_k tau2_k(q)/m_k
+    z0: jnp.ndarray      # (n, 2r) complex  BqUb^T [Gi+G0]^{-1} (p0 - pi):
+                         # the constant half of the dPIQ_U chain (fast path)
 
     @property
     def weight_scale(self):
@@ -173,7 +191,8 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
     #   0.5 ld0 + ... - 0.5 m_log_det = 0.25 ldt + 0.25 ldi - 0.5 ldi0
     m_log_det = float(ld0)
     auto_pref = np.exp(0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
-    coef_pref = np.exp(0.25 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0)
+    log_coef_pref = 0.25 * ld0 + 0.25 * ldt + 0.25 * ldi - 0.5 * ldi0
+    coef_pref = np.exp(log_coef_pref)
 
     # determinant-preserving balancing of A: blockdiag(W^{-1/2}, W^{1/2}),
     # W = U^T G0 U. det(D) = 1 exactly, so det(D A D) = det(A), but the
@@ -188,12 +207,31 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
     Dbal[:r, :r] = W_isqrt
     Dbal[r:, r:] = W_sqrt
 
+    # scan fast path: fold BOTH the balancing D and the 1/s scale into the
+    # projectors. Every trajectory-dependent term of A is bilinear in the
+    # 2r-projected monodromy, so projecting with U1/U2 = U W^{-/+1/2}/sqrt(s)
+    # assembles Ab = D (A/s) D directly — det(Ab) = det(A/s) (det D = 1) and
+    # iA = (D/sqrt(s)) iAb (D/sqrt(s)) re-absorbs into the SAME balanced
+    # operands everywhere downstream (BQUb iAb BqUb^T etc.), so no explicit
+    # conjugation pass ever runs.
+    s_ab = 2.0 * np.sqrt(alpha * beta)
+    sc = 1.0 / np.sqrt(s_ab)
+    U1 = U @ W_isqrt * sc
+    U2 = U @ W_sqrt * sc
+    A_const_b = Dbal @ A_const @ Dbal / s_ab
+    BqUb = np.concatenate(
+        [Gamma_i @ U1, (-1j / hbar) * U2.astype(np.complex128)], axis=1)
+    Fq = G0iGi0 @ BqUb
+    C2b = BqUb.T @ iGi0 @ BqUb  # plain transpose (no conjugation)
+    M0 = U.T @ (Gamma_0 + Gamma_t) @ U
+
     return WMParams(
         hk=hk,
         alpha=jnp.asarray(alpha, dtype=dtype),
         beta=jnp.asarray(beta, dtype=dtype),
         auto_pref=jnp.asarray(auto_pref, dtype=dtype),
         coef_pref=jnp.asarray(coef_pref, dtype=dtype),
+        log_coef_pref=jnp.asarray(log_coef_pref, dtype=jnp.float64),
         Gt=jnp.asarray(Gamma_t, dtype=dtype),
         A_const=to_device(A_const, cdtype),
         BqU=to_device(BqU, cdtype),
@@ -204,6 +242,13 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
         m_scale=jnp.asarray(2.0 * np.pi * np.exp(m_log_det / r),
                             dtype=dtype),
         Dbal=jnp.asarray(Dbal, dtype=dtype),
+        U1=jnp.asarray(U1, dtype=dtype),
+        U2=jnp.asarray(U2, dtype=dtype),
+        A_const_b=to_device(A_const_b, cdtype),
+        BqUb=to_device(BqUb, cdtype),
+        Fq=to_device(Fq, cdtype),
+        C2b=to_device(C2b, cdtype),
+        M0=jnp.asarray(M0, dtype=dtype),
         dim=hk.dim,
         rank=hk.rank,
         m_log_det=m_log_det,
@@ -313,6 +358,173 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
 
 
 # ---------------------------------------------------------------------------
+# scan fast path
+# ---------------------------------------------------------------------------
+#
+# The production time loop never needs the (n, d, d) Gaussian-parameter
+# tensors of eqns. 57-83 — every observable of eqns. 85-100 is a scalar
+# bilinear form x^T R y with x, y drawn from {q0-q(0), q0-q(t), n1(q),
+# n1(Q), dPIQ}. Substituting the R definitions turns each form into
+# (projected r-vector)^T iM (projected r-vector), and the projected vectors
+# themselves come from ONE per-step (n, 2r, r) solve product Y = iAb^T P.
+# Round-2 profiling showed the full-tensor chain is HBM-bandwidth-bound
+# (8+ (n, d, d) complex materialisations per step at ~3 TFLOP/s effective);
+# this path materialises only Ab, iAb (n, 2r, 2r) and Mp, iM (n, r, r).
+# The full-tensor `wm_derived` remains for the diagnostics (wavefunction /
+# norm / granular API) and as the parity cross-check.
+
+@pytree_dataclass
+class WMScanDerived:
+    """Per-trajectory scalars — everything eqns. 85-100 need."""
+
+    detA: jnp.ndarray    # (n,) complex  det(A'/2 sqrt(alpha beta))
+    detM: jnp.ndarray    # (n,) complex  det(M'/m_scale)
+    gamma: jnp.ndarray   # (n,) complex  eqn. 84
+    rqq: jnp.ndarray     # (n,) complex  dq^T Rqq dq
+    rQQ: jnp.ndarray     # (n,) complex  dQ^T RQQ dQ
+    rqQ: jnp.ndarray     # (n,) complex  dq^T RqQ dQ
+    Pq_dq: jnp.ndarray   # (n,) complex  Pq . dq
+    PQ_dQ: jnp.ndarray   # (n,) complex  PQ . dQ
+    kfac: jnp.ndarray    # (n,) complex  nacqQ + nacQ nacq  (eqns. 89-100)
+
+
+def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
+                    potential) -> WMScanDerived:
+    hk = params.hk
+    cdtype = hk.cdtype
+    rd = real_dtype(cdtype)
+
+    # balanced projections: U1/U2 carry D and 1/sqrt(s)
+    Mqq = state.Mqq.astype(rd)
+    Mqp = state.Mqp.astype(rd)
+    Mpq = state.Mpq.astype(rd)
+    Mpp = state.Mpp.astype(rd)
+    MqqU1 = Mqq @ params.U1
+    MqpU2 = Mqp @ params.U2
+    MpqU1 = Mpq @ params.U1
+    MppU2 = Mpp @ params.U2
+    MqzUb = jnp.concatenate([MqqU1, MqpU2], axis=2)        # (n, d, 2r)
+    MpzUb = jnp.concatenate([MpqU1, MppU2], axis=2)
+
+    # -hessL + 2i/hbar Mpz^T Mqz merges into one imaginary block matrix:
+    # (i/hbar) [[T11, T12], [2 T21 - T12^T, 2 T22 - T22^T]]
+    T11 = jnp.einsum("nia,nib->nab", MpqU1, MqqU1)
+    T12 = jnp.einsum("nia,nib->nab", MpqU1, MqpU2)
+    T21 = jnp.einsum("nia,nib->nab", MppU2, MqqU1)
+    T22 = jnp.einsum("nia,nib->nab", MppU2, MqpU2)
+    T12t = jnp.swapaxes(T12, 1, 2)
+    T22t = jnp.swapaxes(T22, 1, 2)
+    imag_blk = jnp.concatenate([
+        jnp.concatenate([T11, T12], axis=2),
+        jnp.concatenate([2.0 * T21 - T12t, 2.0 * T22 - T22t], axis=2),
+    ], axis=1)                                             # (n, 2r, 2r)
+
+    GtMqzUb = jnp.einsum("ij,njb->nib", params.Gt.astype(rd), MqzUb)
+    sym_blk = jnp.einsum("nia,nib->nab", MqzUb, GtMqzUb)
+
+    Ab = (params.A_const_b[None]
+          + sym_blk.astype(cdtype)
+          + times_i(imag_blk / hbar))
+
+    # Y = iAb^T P with P = BQUb^T U — the single solve product every
+    # downstream contraction reuses (P^T iAb z = (iAb^T P)^T z = Y^T z);
+    # fused det+solve never materialises the (n, 2r, 2r) inverse
+    BQUb = GtMqzUb.astype(cdtype) + times_i(MpzUb / hbar)  # (n, d, 2r)
+    U = hk.U.astype(rd)
+    P = jnp.einsum("nia,ij->naj", BQUb, U)                 # (n, 2r, r)
+    detA, Y = linalg.batched_det_solve_t(Ab, P)            # (n, 2r, r)
+
+    # M' = U^T (G0 + Gt(t)) U ... = M0 - Y^T (P + C2b Y)  (eqns. 68, 78)
+    C2Y = jnp.einsum("ab,nbk->nak", params.C2b, Y)
+    Mp = (params.M0.astype(cdtype)[None]
+          - jnp.einsum("nak,nal->nkl", Y, P + C2Y))
+    m_scale = params.m_scale.astype(rd)
+    detM, iM_s = linalg.batched_det_inv(Mp / m_scale)
+    iM = iM_s / m_scale                                    # (n, r, r)
+
+    # projected observable vectors (differences at trajectory precision)
+    t = params.Gt.dtype
+    q0 = hk.q0
+    dq = (q0[None, :] - bc.base.qi.astype(q0.dtype)).astype(t)
+    dQ = (q0[None, :] - state.q.astype(q0.dtype)).astype(t)
+    n1q = bc.n1q.astype(t)
+    n1Q_t, n2Q_t = _nac_terms(potential, state.q)
+    n1Q = n1Q_t.astype(t)
+
+    def A_vec(x):
+        # CqQU^T x = Y^T (Fq^T x)  (see module docstring derivation)
+        z = jnp.einsum("ia,ni->na", params.Fq, x)          # (n, 2r)
+        return jnp.einsum("nak,na->nk", Y, z)              # (n, r)
+
+    G0U = params.G0U.astype(t)
+    A_dq = A_vec(dq)
+    A_n1q = A_vec(n1q)
+    G_dQ = (dQ @ G0U).astype(cdtype)
+    G_n1Q = (n1Q @ G0U).astype(cdtype)
+    dp = (state.p.astype(q0.dtype) - hk.p0[None, :]).astype(t)
+    dPIQ_U = ((dp @ U.astype(t)).astype(cdtype)
+              + jnp.einsum("nak,na->nk", Y, bc.z0))        # (n, r)
+
+    # one iM application for the whole 5-vector stack, then the Gram matrix
+    stack = jnp.stack([A_dq, A_n1q, G_dQ, G_n1Q, dPIQ_U], axis=2)  # (n,r,5)
+    iM_stack = jnp.einsum("nab,nbk->nak", iM, stack)
+    gram = jnp.einsum("nak,nal->nkl", stack, iM_stack)     # (n, 5, 5)
+
+    # constant-matrix bilinear pieces
+    Cqq = params.Cqq.astype(t)
+    G0 = hk.G0.astype(t)
+    c_dd = jnp.einsum("ni,ij,nj->n", dq, Cqq, dq).astype(cdtype)
+    c_dn = jnp.einsum("ni,ij,nj->n", dq, Cqq, n1q).astype(cdtype)
+    g_DD = jnp.einsum("ni,ij,nj->n", dQ, G0, dQ).astype(cdtype)
+    g_Dn = jnp.einsum("ni,ij,nj->n", dQ, G0, n1Q).astype(cdtype)
+    piq_dq = jnp.einsum("ni,ni->n", bc.PIq.astype(t), dq).astype(cdtype)
+    piq_n = jnp.einsum("ni,ni->n", bc.PIq.astype(t), n1q).astype(cdtype)
+    p0_dQ = jnp.einsum("i,ni->n", hk.p0.astype(t), dQ).astype(cdtype)
+    p0_n = jnp.einsum("i,ni->n", hk.p0.astype(t), n1Q).astype(cdtype)
+
+    rqq = c_dd - gram[:, 0, 0]                             # dq^T Rqq dq
+    rQQ = g_DD - gram[:, 2, 2]                             # dQ^T RQQ dQ
+    rqQ = gram[:, 0, 2]                                    # dq^T RqQ dQ
+    Pq_dq = piq_dq - gram[:, 0, 4]
+    PQ_dQ = p0_dQ + gram[:, 2, 4]
+    gamma = bc.eps.astype(cdtype) - (0.5 / hbar**2) * gram[:, 4, 4]
+
+    # IC-correlation NAC factors (eqns. 89-100, cf. wm_observables)
+    nacqQ = gram[:, 1, 3]                                  # n1q^T RqQ n1Q
+    nacQ = (n2Q_t.astype(cdtype)
+            + (g_Dn - gram[:, 2, 3])                       # dQ^T RQQ n1Q
+            - gram[:, 0, 3]                                # dq^T RqQ n1Q
+            - times_i((p0_n + gram[:, 3, 4]) / hbar))      # PQ . n1Q
+    nacq = (bc.n2q.astype(cdtype)
+            + (c_dn - gram[:, 0, 1])                       # dq^T Rqq n1q
+            - gram[:, 1, 2]                                # n1q^T RqQ dQ
+            + times_i((piq_n - gram[:, 1, 4]) / hbar))     # Pq . n1q
+    kfac = nacqQ + nacQ * nacq
+
+    return WMScanDerived(detA=detA, detM=detM, gamma=gamma, rqq=rqq,
+                         rQQ=rQQ, rqQ=rqQ, Pq_dq=Pq_dq, PQ_dQ=PQ_dQ,
+                         kfac=kfac)
+
+
+def wm_scan_observables(params: WMParams, bc: WMBatchConstants,
+                        state: TrajState, sd: WMScanDerived, c_signed,
+                        signs_A, signs_M):
+    """(C_auto(t), k~ic(t)) from the scalar forms (eqns. 85, 89-100)."""
+    cdtype = c_signed.dtype
+    pref = (params.auto_pref.astype(cdtype) * c_signed
+            * phase_exp(state.S / hbar, cdtype)
+            * signs_A / jnp.sqrt(sd.detA)
+            * signs_M / jnp.sqrt(sd.detM))
+    expo = (sd.gamma
+            + bc.base.logw_norm.astype(cdtype)
+            - 0.5 * sd.rqq - 0.5 * sd.rQQ + sd.rqQ
+            + times_i((sd.PQ_dQ - sd.Pq_dq) / hbar))
+    cauto_qp = pref * jnp.exp(expo)
+    kic_qp = (1.0 / hbar**2) * sd.kfac * cauto_qp
+    return jnp.sum(cauto_qp), jnp.sum(kic_qp)
+
+
+# ---------------------------------------------------------------------------
 # batch constants
 # ---------------------------------------------------------------------------
 
@@ -330,7 +542,11 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
         n2q = jnp.zeros(qi.shape[0], dtype=qi.dtype)
     else:
         n1q, n2q = _nac_terms(potential, qi)
-    return WMBatchConstants(base=base, eps=eps, PIq=PIq, n1q=n1q, n2q=n2q)
+    t = params.Gt.dtype
+    v0 = (dp0.astype(t) @ params.hk.iGi0.astype(t))           # (n, d)
+    z0 = jnp.einsum("ia,ni->na", params.BqUb, v0)             # (n, 2r)
+    return WMBatchConstants(base=base, eps=eps, PIq=PIq, n1q=n1q, n2q=n2q,
+                            z0=z0)
 
 
 def _nac_terms(potential, x):
@@ -431,38 +647,98 @@ def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
     return v * bc.base.weight
 
 
+def wm_log_coefficients(params: WMParams, bc: WMBatchConstants,
+                        state: TrajState, derived: WMDerived, c_signed,
+                        signs_A):
+    """log v_i of the Gaussian expansion coefficients as two real f64
+    arrays (log_re = log |v_i|, log_im = arg v_i, unwrapped additively).
+
+    This is the range-safe representation of eqn. 75: the linear-scale
+    coefficient magnitude is ~1e-41 at the 60-mode flagship (it underflows
+    complex64, the round-2 known gap), while log |v| stays O(100) in any
+    precision — the same trick the MC weights already use
+    (hk_batch_constants). Includes the MC weight *and* the host weight
+    scale, so exp(log v) is the fully weighted coefficient."""
+    hk = params.hk
+    t = params.Gt.dtype
+    f64 = jnp.float64
+    dq_t = hk.q0[None, :] - bc.base.qi.astype(hk.q0.dtype)   # traj precision
+    dq = dq_t.astype(t)
+    quad = 0.5 * jnp.einsum("ni,ij,nj->n", dq, params.Cqq, dq)
+    phase_pi = jnp.einsum("ni,ni->n", bc.PIq.astype(t), dq) / hbar
+
+    log_re = (params.log_coef_pref
+              + jnp.log(jnp.abs(c_signed)).astype(f64)
+              - 0.5 * jnp.log(jnp.abs(derived.detA)).astype(f64)
+              + bc.eps.astype(f64)
+              + bc.base.logw_norm.astype(f64)
+              + bc.base.log_weight_scale
+              - quad.astype(f64))
+    log_im = (jnp.angle(c_signed).astype(f64)
+              + state.S.astype(f64) / hbar
+              - 0.5 * jnp.angle(derived.detA).astype(f64)
+              + jnp.where(signs_A < 0, np.pi, 0.0)
+              - phase_pi.astype(f64))
+    return log_re, log_im
+
+
 def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
-                    derived: WMDerived, v, x):
+                    derived: WMDerived, log_v, x):
     """psi(x, t) on a grid x (nx, d) (eqn. 75,
-    reference propagators.py:1434-1482)."""
-    cdtype = v.dtype
+    reference propagators.py:1434-1482), from log-coefficients
+    (wm_log_coefficients): each trajectory's log |v| joins its Gaussian
+    exponent and the sum over trajectories is exponent-shifted, so the
+    evaluation works at any mode count."""
+    log_re, log_im = log_v
+    cdtype = complex_dtype(params.Gt.dtype)
+    rd = real_dtype(cdtype)
     dxQ = x[None, :, :].astype(cdtype) - state.q[:, None, :].astype(cdtype)
     dq = (params.hk.q0[None, :] - bc.base.qi).astype(cdtype)
     expo = (-0.5 * jnp.einsum("nxi,nij,nxj->nx", dxQ, derived.CQQ, dxQ)
             + jnp.einsum("ni,nij,nxj->nx", dq, derived.CqQ, dxQ)
             + times_i(jnp.einsum("ni,nxi->nx", derived.PIQ, dxQ) / hbar))
-    return jnp.einsum("n,nx->x", v, jnp.exp(expo))
+    Zre = log_re.astype(rd)[:, None] + expo.real               # (n, nx)
+    Zim = log_im.astype(rd)[:, None] + expo.imag
+    zmax = jnp.max(Zre, axis=0)                                # (nx,)
+    psi = jnp.sum(complex_exp(Zre - zmax[None, :], Zim, cdtype), axis=0)
+    # the exponent recombination happens on the HOST at f64: the true psi
+    # magnitude at many modes sits below the f32 normal range (1e-38 at the
+    # 60-mode flagship grid), so exp(zmax) must not be taken in the device
+    # dtype (and complex128 is banned on device by the TPU contract)
+    return psi, zmax
 
 
 def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
-            derived: WMDerived, v, block=4096):
+            derived: WMDerived, log_v, block=4096):
     """|psi| of the WM wavefunction — O(n^2) with per-pair r x r inverses
-    (reference propagators.py:1484-1575). Opt-in diagnostic."""
+    (reference propagators.py:1484-1575). Opt-in diagnostic.
+
+    Consumes log-coefficients: the pair term conj(v_m) <m|n> v_n is
+    assembled as ONE exponent (log v_m^* + log v_n + the pair-overlap
+    exponent - 1/2 Log det), which is O(1) per entry even when both factors
+    over/underflow the complex dtype individually — this is what lifts the
+    c64 diagnostic ceiling at high mode counts."""
     hk = params.hk
-    cdtype = v.dtype
-    U = hk.U.astype(cdtype)
+    log_re, log_im = log_v
+    cdtype = complex_dtype(params.Gt.dtype)
+    rd = real_dtype(cdtype)
+    # keep U real: jnp.einsum upcasts against the complex operands, and a
+    # complex closure constant would violate the TPU numerics contract
+    U = hk.U.astype(rd)
     q0 = hk.q0[None, :].astype(cdtype)
     dvec = (jnp.einsum("nji,nj->ni", derived.CqQ,
                        q0 - bc.base.qi.astype(cdtype))
             + times_i(derived.PIQ / hbar))                   # (n, d)
     Q = state.q.astype(cdtype)
     CQQ = derived.CQQ
+    lr = log_re.astype(rd)
+    li = log_im.astype(rd)
 
     n = Q.shape[0]
     nblocks = -(-n // block)
 
     @jax.jit
-    def block_term(Qi, di, CQQi, vi, Qj, dj, CQQj, vj):
+    def block_term(Qi, di, CQQi, lri, lii, Qj, dj, CQQj, lrj, lij):
         dQij = Qj[None, :, :] - Qi[:, None, :]               # (bi, bj, d)
         di_ = jnp.conj(di)[:, None, :]
         dj_ = dj[None, :, :]
@@ -470,19 +746,28 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
         Dij = jnp.conj(CQQi)[:, None] + CQQj_                # (bi, bj, d, d)
         # project to the non-zero subspace before inverting; route through
         # linalg.batched_det_inv — XLA's complex LU is numerically broken on
-        # the TPU backend (see linalg.py), and the Schur path handles the
-        # (bi, bj) leading batch dims directly
+        # the TPU backend (see linalg.py)
         DijU = jnp.einsum("ia,mnij,jb->mnab", U, Dij, U)
-        two_pi = jnp.asarray(2.0 * np.pi, dtype=real_dtype(cdtype))
-        detDij, iDij_s = linalg.batched_det_inv(DijU / two_pi)
-        iDij = iDij_s / two_pi
+        # det(DijU / 2 pi) itself underflows complex64 at many modes (it is
+        # ~ det(2 U^T G0 U / 2 pi) at t = 0) — factorise at the O(1) scale
+        # m_scale and carry the exact compensator m_log_det in the log
+        # (same pattern as the M matrix, see WMParams)
+        m_scale = params.m_scale.astype(rd)
+        detDij, iDij_s = linalg.batched_det_inv(DijU / m_scale)
+        iDij = iDij_s / m_scale
         bij = (jnp.einsum("nab,mnb->mna", CQQj, dQij) + di_ + dj_)  # (bi,bj,d)
         bijU = jnp.einsum("mna,ab->mnb", bij, U)
-        olap = (1.0 / jnp.sqrt(detDij)) * jnp.exp(
+        pair_expo = (
             -0.5 * jnp.einsum("mna,nab,mnb->mn", dQij, CQQj, dQij)
             - jnp.einsum("na,mna->mn", dj, dQij)
             + 0.5 * jnp.einsum("mna,mnab,mnb->mn", bijU, iDij, bijU))
-        return jnp.einsum("m,mn,n", jnp.conj(vi), olap, vj)
+        # exp(-1/2 Log det) with the principal log = 1/sqrt(det) principal;
+        # log det(DijU / 2 pi) = log det(DijU / m_scale) + m_log_det
+        total_re = (lri[:, None] + lrj[None, :] + pair_expo.real
+                    - 0.5 * (jnp.log(jnp.abs(detDij)) + params.m_log_det))
+        total_im = (-lii[:, None] + lij[None, :] + pair_expo.imag
+                    - 0.5 * jnp.angle(detDij))
+        return jnp.sum(complex_exp(total_re, total_im, cdtype))
 
     norm2 = 0.0 + 0.0j
     for ib in range(nblocks):
@@ -490,8 +775,8 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
         for jb in range(nblocks):
             sj = slice(jb * block, min((jb + 1) * block, n))
             norm2 += complex(from_device(
-                block_term(Q[si], dvec[si], CQQ[si], v[si],
-                           Q[sj], dvec[sj], CQQ[sj], v[sj])))
+                block_term(Q[si], dvec[si], CQQ[si], lr[si], li[si],
+                           Q[sj], dvec[sj], CQQ[sj], lr[sj], li[sj])))
     return float(np.sqrt(norm2.real))
 
 
@@ -505,11 +790,11 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt):
         c2 = hk_prefactor_det(params.hk, state)
         tr_c = tr_c.update(c2)
         c = jnp.sqrt(c2) * tr_c.signs
-        derived = wm_derived(params, bc, state)
-        tr_A = tr_A.update(derived.detA)
-        tr_M = tr_M.update(derived.detM)
-        cauto, kic = wm_observables(params, bc, state, derived, c,
-                                    tr_A.signs, tr_M.signs, potential)
+        sd = wm_scan_derived(params, bc, state, potential)
+        tr_A = tr_A.update(sd.detA)
+        tr_M = tr_M.update(sd.detM)
+        cauto, kic = wm_scan_observables(params, bc, state, sd, c,
+                                         tr_A.signs, tr_M.signs)
         new_state, en = rk4_step(state, potential, dt)
         return (new_state, (tr_c, tr_A, tr_M), t + dt), (cauto, kic, en)
 
@@ -629,14 +914,31 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         return (v * jnp.asarray(self._bc.base.weight_scale,
                                 dtype=real_dtype(v.dtype)), derived)
 
+    def _log_coefficients_and_derived(self):
+        c = self.semiclassical_prefactor()
+        derived = self._sync_derived()
+        log_v = wm_log_coefficients(self.params, self._bc, self.state,
+                                    derived, c, self.trackers["detA"].signs)
+        return log_v, derived
+
     def coefficients(self):
+        """Linear-scale coefficients (reference API,
+        propagators.py:1391-1432); underflows the complex dtype where the
+        true magnitude does — use log_coefficients at high mode counts."""
         return self._coefficients_and_derived()[0]
 
+    def log_coefficients(self):
+        """(log |v|, arg v) as f64 numpy arrays — exact at any mode count."""
+        log_v, _ = self._log_coefficients_and_derived()
+        return np.asarray(log_v[0]), np.asarray(log_v[1])
+
     def wavefunction(self, x):
-        v, derived = self._coefficients_and_derived()
-        return from_device(wm_wavefunction(self.params, self._bc, self.state,
-                                           derived, v, jnp.asarray(x)))
+        log_v, derived = self._log_coefficients_and_derived()
+        psi, zmax = wm_wavefunction(self.params, self._bc, self.state,
+                                    derived, log_v, jnp.asarray(x))
+        return (from_device(psi).astype(np.complex128)
+                * np.exp(np.asarray(zmax, dtype=np.float64)))
 
     def norm(self):
-        v, derived = self._coefficients_and_derived()
-        return wm_norm(self.params, self._bc, self.state, derived, v)
+        log_v, derived = self._log_coefficients_and_derived()
+        return wm_norm(self.params, self._bc, self.state, derived, log_v)

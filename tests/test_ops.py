@@ -4,7 +4,10 @@
 import numpy as np
 import jax.numpy as jnp
 
-from semiclassical_tpu.ops import pallas_batched_det
+from semiclassical_tpu.ops import (
+    pallas_batched_det,
+    pallas_batched_det_inv_lanes,
+)
 
 
 def test_pallas_det_vs_lapack():
@@ -17,6 +20,79 @@ def test_pallas_det_vs_lapack():
         d = np.asarray(pallas_batched_det(jnp.asarray(A)))
         dn = np.linalg.det(A.astype(np.complex128))
         assert np.abs(d - dn).max() / np.abs(dn).max() < 1e-5, (n, r)
+
+
+def _random_well_conditioned(rng, n, m):
+    return (np.eye(m)
+            + 0.4 * (rng.standard_normal((n, m, m))
+                     + 1j * rng.standard_normal((n, m, m))) / np.sqrt(m)
+            ).astype(np.complex64)
+
+
+def test_pallas_det_inv_vs_lapack():
+    """Fused Gauss-Jordan det+inverse (the WM prefactor kernel)."""
+    rng = np.random.default_rng(2)
+    for n, m in [(100, 7), (64, 13), (130, 8), (16, 1)]:
+        A = _random_well_conditioned(rng, n, m)
+        d, iA = pallas_batched_det_inv_lanes(jnp.asarray(A))
+        dn = np.linalg.det(A.astype(np.complex128))
+        invn = np.linalg.inv(A.astype(np.complex128))
+        assert np.abs(np.asarray(d) - dn).max() / np.abs(dn).max() < 1e-5, (n, m)
+        assert np.abs(np.asarray(iA) - invn).max() < 1e-5, (n, m)
+
+
+def test_det_inv_blocked_splitting(monkeypatch):
+    """The block-Schur level above _GJ_LEAF (the path the (2r, 2r) WM
+    A-matrix takes on TPU) must agree with LAPACK, including an odd split."""
+    from semiclassical_tpu import linalg
+
+    monkeypatch.setattr(linalg, "_GJ_LEAF", 8)
+    rng = np.random.default_rng(3)
+    for n, m in [(32, 20), (16, 21)]:
+        A = _random_well_conditioned(rng, n, m)
+        d, iA = linalg._det_inv_lanes_blocked(jnp.asarray(A))
+        dn = np.linalg.det(A.astype(np.complex128))
+        invn = np.linalg.inv(A.astype(np.complex128))
+        assert np.abs(np.asarray(d) - dn).max() / np.abs(dn).max() < 1e-4, (n, m)
+        assert np.abs(np.asarray(iA) - invn).max() < 1e-4, (n, m)
+
+
+def test_det_solve_t_blocked(monkeypatch):
+    """Fused det + A^{-T} B block solve (the WM Y = iAb^T P path)."""
+    from semiclassical_tpu import linalg
+
+    monkeypatch.setattr(linalg, "_GJ_LEAF", 8)
+    monkeypatch.setattr(linalg, "_LINALG_IMPL", "lanes")
+    rng = np.random.default_rng(5)
+    for n, m, k in [(32, 20, 7), (16, 13, 4)]:
+        A = _random_well_conditioned(rng, n, m)
+        B = (rng.standard_normal((n, m, k))
+             + 1j * rng.standard_normal((n, m, k))).astype(np.complex64)
+        det, Y = linalg.batched_det_solve_t(jnp.asarray(A), jnp.asarray(B))
+        A128 = A.astype(np.complex128)
+        dn = np.linalg.det(A128)
+        Yn = np.linalg.solve(np.swapaxes(A128, 1, 2), B.astype(np.complex128))
+        assert np.abs(np.asarray(det) - dn).max() / np.abs(dn).max() < 1e-4
+        assert np.abs(np.asarray(Y) - Yn).max() < 1e-4, (n, m, k)
+
+
+def test_batched_det_inv_leading_batch_dims():
+    """batched_det_inv accepts (..., m, m) with several leading dims on the
+    pallas route (wm_norm's (bi, bj, r, r) blocks)."""
+    from semiclassical_tpu import linalg
+
+    rng = np.random.default_rng(4)
+    A = _random_well_conditioned(rng, 24, 5).reshape(4, 6, 5, 5)
+    old = linalg._LINALG_IMPL
+    linalg.set_linalg_impl("lanes")
+    try:
+        d, iA = linalg.batched_det_inv(jnp.asarray(A))
+    finally:
+        linalg.set_linalg_impl(old)
+    A128 = A.astype(np.complex128)
+    assert d.shape == (4, 6) and iA.shape == A.shape
+    assert np.allclose(np.asarray(d), np.linalg.det(A128), rtol=1e-4)
+    assert np.abs(np.asarray(iA) - np.linalg.inv(A128)).max() < 1e-5
 
 
 def test_pallas_det_padding():

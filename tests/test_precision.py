@@ -105,3 +105,53 @@ def test_wm_mixed_many_modes():
     assert abs(cm[0] - 1.0) < 1e-2  # MC estimate at small ntraj
     c64, k64 = run(jnp.float64, None)
     assert np.abs(cm - c64).max() < 1e-3 * np.abs(c64).max()
+
+
+@pytest.mark.slow
+def test_wm_diagnostics_many_modes_mixed():
+    """The WM diagnostics (norm / wavefunction / coefficients) at the
+    60-mode flagship scale in MIXED precision: the per-trajectory
+    coefficient magnitude is ~1e-41 there (underflows complex64 — the
+    round-2 known gap), so the log-magnitude representation must carry
+    them. Gate: mixed-mode values agree with the full-f64 evaluation of
+    the same ensemble to ~1e-3 relative."""
+    rng = np.random.default_rng(42)
+    d = 60
+    omega = rng.uniform(200.0, 3000.0, size=d) / 219474.63
+    S = rng.uniform(0.01, 0.3, size=d)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    chi = np.full(d, 0.02)
+    pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float64)
+    dQ = np.sqrt(2.0 * S / omega)
+    Gamma = np.diag(omega)
+    x_grid = dQ[None, :] * np.linspace(0.0, 1.2, 5)[:, None]  # (5, d)
+
+    def run(dtype, traj_dtype):
+        prop = WaltonManolopoulosPropagator(
+            Gamma, Gamma, alpha=10000.0, beta=10000.0,
+            dtype=dtype, traj_dtype=traj_dtype)
+        prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=96, key=0,
+                                potential=pot)
+        prop.propagate(pot, 0.25, 3, check_energy=False)
+        lr, li = prop.log_coefficients()
+        return prop.norm(), prop.wavefunction(jnp.asarray(x_grid)), lr, li
+
+    norm_m, psi_m, lr_m, li_m = run(jnp.float32, jnp.float64)
+    norm_64, psi_64, lr_64, li_64 = run(jnp.float64, None)
+
+    # the f64 values are finite and nonzero; mixed must reproduce them
+    assert np.isfinite(norm_64) and norm_64 > 0.0
+    assert np.isfinite(norm_m) and norm_m > 0.0
+    assert abs(norm_m - norm_64) < 2e-3 * norm_64
+    assert np.isfinite(psi_m).all()
+    assert np.abs(psi_m - psi_64).max() < 2e-3 * np.abs(psi_64).max()
+    # the linear-scale pipeline is range-dead here: every pairwise norm
+    # term conj(v_m) v_n (exp(lr_m + lr_n) ~ 1e-55) and the wavefunction
+    # values themselves (~1e-38 and below on this grid) underflow f32
+    assert 2.0 * lr_64.max() < np.log(1e-38)
+    assert 0.0 < np.abs(psi_64).min() < 1e-38
+    assert np.isfinite(lr_m).all()
+    assert np.abs(lr_m - lr_64).max() < 1e-2
+    # phases agree mod 2 pi
+    dphi = (li_m - li_64 + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(dphi).max() < 1e-2
