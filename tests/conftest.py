@@ -1,18 +1,46 @@
 # coding: utf-8
 """Test configuration.
 
-Tests run on the CPU backend with 8 virtual devices so that multi-chip
-sharding is exercised without TPU hardware. The flags must be set before the
-first backend use (jax itself may already be imported by the environment).
+Two tiers:
+
+* default — CPU backend with 8 virtual devices, so multi-chip sharding is
+  exercised without TPU hardware. The flags must be set before the first
+  backend use (jax itself may already be imported by the environment).
+* ``SEMI_TPU_TESTS=1`` — the real-TPU tier: the backend is left as the
+  environment provides it (the axon TPU tunnel on this image) and ONLY
+  tests marked ``@pytest.mark.tpu`` run; the CPU suite is skipped. Usage:
+
+      SEMI_TPU_TESTS=1 python -m pytest tests/ -q
+
+  The full-scale methylium parity gate additionally wants
+  ``SEMI_FULL_PARITY=1`` (50k trajectories x 2000 steps — minutes on one
+  chip, impractical on CPU).
 """
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+TPU_TIER = os.environ.get("SEMI_TPU_TESTS") == "1"
+
+if TPU_TIER:
+    # remote compiles are 30-300 s without the persistent cache
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+else:
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if TPU_TIER:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+else:
+    # JAX_PLATFORMS=cpu as an env var is overridden by this image's
+    # sitecustomize; the config update is not.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib  # noqa: E402
@@ -32,3 +60,21 @@ def ref_data():
     if not REF_DATA.is_dir():
         pytest.skip(f"reference data directory {REF_DATA} not available")
     return REF_DATA
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="TPU tier — run with SEMI_TPU_TESTS=1 (real chip required)")
+    skip_cpu = pytest.mark.skip(
+        reason="CPU suite is skipped under SEMI_TPU_TESTS=1")
+    skip_parity = pytest.mark.skip(
+        reason="full-scale parity gate — additionally set SEMI_FULL_PARITY=1")
+    full_parity = os.environ.get("SEMI_FULL_PARITY") == "1"
+    for item in items:
+        is_tpu = "tpu" in item.keywords
+        if is_tpu and not TPU_TIER:
+            item.add_marker(skip_tpu)
+        elif not is_tpu and TPU_TIER:
+            item.add_marker(skip_cpu)
+        if "full_parity" in item.keywords and not full_parity:
+            item.add_marker(skip_parity)
