@@ -104,9 +104,64 @@ def main():
         ca, ki = wm_scan_observables(p, b, s, sd, ones, sg, sg)
         return jnp.abs(ca).astype(jnp.float32)
 
+    # finer-grained sub-chains of wm_scan_derived: each body recomputes the
+    # prefix (XLA CSE removes nothing across scan_time calls — they are
+    # separate jits), so phase cost = this row minus the previous row
+    from semiclassical_tpu import linalg as _lin
+    from semiclassical_tpu.linalg import times_i
+    from semiclassical_tpu.units import hbar as _hbar
+
+    def _chain(p, b, s, upto):
+        rd = p.Gt.dtype
+        cdtype = p.hk.cdtype
+        Mqq = s.Mqq.astype(rd); Mqp = s.Mqp.astype(rd)
+        Mpq = s.Mpq.astype(rd); Mpp = s.Mpp.astype(rd)
+        MqqU1 = Mqq @ p.U1; MqpU2 = Mqp @ p.U2
+        MpqU1 = Mpq @ p.U1; MppU2 = Mpp @ p.U2
+        MqzUb = jnp.concatenate([MqqU1, MqpU2], axis=2)
+        MpzUb = jnp.concatenate([MpqU1, MppU2], axis=2)
+        T11 = jnp.einsum("nia,nib->nab", MpqU1, MqqU1)
+        T12 = jnp.einsum("nia,nib->nab", MpqU1, MqpU2)
+        T21 = jnp.einsum("nia,nib->nab", MppU2, MqqU1)
+        T22 = jnp.einsum("nia,nib->nab", MppU2, MqpU2)
+        T12t = jnp.swapaxes(T12, 1, 2); T22t = jnp.swapaxes(T22, 1, 2)
+        imag_blk = jnp.concatenate([
+            jnp.concatenate([T11, T12], axis=2),
+            jnp.concatenate([2.0 * T21 - T12t, 2.0 * T22 - T22t], axis=2),
+        ], axis=1)
+        GtMqzUb = jnp.einsum("ij,njb->nib", p.Gt.astype(rd), MqzUb)
+        sym_blk = jnp.einsum("nia,nib->nab", MqzUb, GtMqzUb)
+        Ab = (p.A_const_b[None] + sym_blk.astype(cdtype)
+              + times_i(imag_blk / _hbar))
+        if upto == "Ab":
+            return jnp.abs(Ab).sum().astype(jnp.float32)
+        BQUb = GtMqzUb.astype(cdtype) + times_i(MpzUb / _hbar)
+        U = p.hk.U.astype(rd)
+        P = jnp.einsum("nia,ij->naj", BQUb, U)
+        detA, Y = _lin.batched_det_solve_t(Ab, P)
+        if upto == "Y":
+            return (jnp.abs(detA).sum() + jnp.abs(Y).sum()).astype(jnp.float32)
+        C2Y = jnp.einsum("ab,nbk->nak", p.C2b, Y)
+        Mp = (p.M0.astype(cdtype)[None]
+              - jnp.einsum("nak,nal->nkl", Y, P + C2Y))
+        if upto == "Mp":
+            return jnp.abs(Mp).sum().astype(jnp.float32)
+        m_scale = p.m_scale.astype(rd)
+        detM, iM_s = _lin.batched_det_inv(Mp / m_scale)
+        iM = iM_s / m_scale
+        if upto == "detM_iM":
+            return (jnp.abs(detM).sum() + jnp.abs(iM).sum()).astype(jnp.float32)
+        return jnp.abs(detM).sum().astype(jnp.float32)
+
     base = scan_time("rk4", lambda p, b, s: jnp.float32(0.0))
     scan_time("hk_prefactor_det", lambda p, b, s: jnp.sum(
         jnp.abs(hk_prefactor_det(p.hk, s)).astype(jnp.float32)), base)
+    scan_time("chain:Ab", lambda p, b, s: _chain(p, b, s, "Ab"), base)
+    scan_time("chain:+detsolveA(120)", lambda p, b, s: _chain(p, b, s, "Y"),
+              base)
+    scan_time("chain:+C2Y,Mp", lambda p, b, s: _chain(p, b, s, "Mp"), base)
+    scan_time("chain:+detinvM(60)",
+              lambda p, b, s: _chain(p, b, s, "detM_iM"), base)
     scan_time("detA_chain", lambda p, b, s: jnp.sum(
         jnp.abs(wm_scan_derived(p, b, s, pot).detA).astype(jnp.float32)),
         base)

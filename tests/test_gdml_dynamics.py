@@ -55,6 +55,102 @@ def test_main_gdml_dynamics_without_hess_dtype(ref_data, tmp_path,
 
 
 @pytest.mark.slow
+def test_gdml_short_time_matches_harmonic(ref_data):
+    """Physics oracle for GDML-driven *dynamics* (not just the predictor):
+    over the short-time window, HK correlation functions on the GDML PES
+    must agree with those on the PES's own second-order Taylor expansion at
+    the initial geometry. Identical initial conditions (same key) make the
+    comparison deterministic — the only difference between the two runs is
+    the potential — so the gate is tight, far below MC noise.
+
+    (reference analogue: test_gdml_predictor.py:90-122 checks the
+    *predictor* against finite differences; this extends the oracle to the
+    propagated observables.)"""
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    pot = MolecularGDMLPotential.create(model, exc)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+    x0 = jnp.asarray(x0)
+
+    # second-order Taylor comparator built FROM the GDML PES itself
+    v0, g0, h = pot.local_expansion(x0[None, :])
+    from semiclassical_tpu.potentials.molecular import (
+        MolecularHarmonicPotential)
+    harm = MolecularHarmonicPotential(
+        pos0=x0,
+        energy0=v0[0],
+        grad0=g0[0],
+        hess0=h.dense()[0],
+        nac0=pot.nac0,
+        mass=pot.mass,
+        origin=pot.origin,
+    )
+
+    def run(p):
+        prop = HermanKlukPropagator(Gamma0, Gamma0)
+        prop.initial_conditions(np.asarray(x0), np.zeros_like(np.asarray(x0)),
+                                Gamma0, ntraj=16, key=5, potential=p)
+        return prop.propagate(p, 0.1, 10, energy0_es=zpe)
+
+    c_gdml, k_gdml = run(pot)
+    c_harm, k_harm = run(harm)
+    assert np.isfinite(c_gdml).all() and np.isfinite(c_harm).all()
+    # identical ensembles, locally identical PES -> the two correlation
+    # functions separate only through third-order PES terms; the measured
+    # anharmonic drift for this wavepacket is ~6e-3 per a.u., so over the
+    # 1 a.u. window 1e-2 leaves margin while any sign/convention bug in the
+    # DenseHessian monodromy path shows up at O(0.1) immediately
+    np.testing.assert_allclose(c_gdml, c_harm, atol=1e-2)
+    np.testing.assert_allclose(k_gdml, k_harm, atol=1e-2)
+    # and the window is non-trivial: the correlation actually evolves
+    assert np.abs(c_gdml[-1] - c_gdml[0]) > 1e-3
+
+
+@pytest.mark.slow
+def test_gdml_sharded_matches_single_device(ref_data):
+    """The DenseHessian monodromy branch under SPMD: a GDML run on the
+    8-device ensemble mesh must reproduce the single-device run bitwise-
+    tight (the one sharded code path the model potentials don't cover)."""
+    import jax
+
+    from semiclassical_tpu.parallel import ensemble_mesh
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+    assert len(jax.devices()) >= 8, "tests expect 8 virtual devices"
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    pot = MolecularGDMLPotential.create(model, exc)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    def run(mesh):
+        prop = HermanKlukPropagator(Gamma0, Gamma0)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=16,
+                                key=9, potential=pot, mesh=mesh)
+        return prop.propagate(pot, 1.0, 3, energy0_es=zpe)
+
+    c1, k1 = run(None)
+    c8, k8 = run(ensemble_mesh())
+    # slightly looser than the model-potential sharding gates (1e-10): the
+    # GDML kernel contraction over 200 training points retiles under GSPMD
+    # and reassociates the f64 sums
+    np.testing.assert_allclose(c8, c1, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(k8, k1, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
 def test_gdml_hk_dynamics(ref_data):
     model_path = (ref_data / "GDML"
                   / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
