@@ -537,6 +537,76 @@ def batched_det_solve_t(A: jax.Array, B: jax.Array):
     return det, jnp.einsum("...ba,...bj->...aj", inv, B)
 
 
+def _det_solve_lanes(A: jax.Array, B: jax.Array):
+    """(det(A), A^{-1} B) with the augmented Gauss-Jordan kernel at the
+    leaves and block elimination above `_GJ_LEAF`. A (n, m, m), B (n, m, k).
+
+    Unlike `_det_solveT_lanes` (which materialises half-size inverses and
+    spends ~8 HBM matmul roundtrips at 2r = 120), every leaf here is ONE
+    fused kernel call and the blocked level needs only two batched matmuls
+    — the round-3 profile showed those roundtrips, not flops, dominate."""
+    m = A.shape[-1]
+    if m <= 2:
+        det, inv = _det_inv_schur(A)
+        return det, inv @ B
+    if m <= _GJ_LEAF:
+        from semiclassical_tpu.ops import pallas_batched_det_solve_lanes
+        return pallas_batched_det_solve_lanes(A, B)
+    r1 = m // 2
+    return _det_solve_lanes_blocks(
+        A[..., :r1, :r1], A[..., :r1, r1:],
+        A[..., r1:, :r1], A[..., r1:, r1:],
+        B[..., :r1, :], B[..., r1:, :])
+
+
+def _det_solve_lanes_blocks(A11, A12, A21, A22, B1, B2):
+    """Block elimination for [[A11, A12], [A21, A22]] [Y1; Y2] = [B1; B2]:
+
+        det1, [G | t] = A11^{-1} [A12 | B1]      (one fused kernel)
+        S = A22 - A21 G,  rhs2 = B2 - A21 t      (ONE batched matmul)
+        det2, Y2 = S^{-1} rhs2                   (recurse)
+        Y1 = t - G Y2                            (one batched matmul)
+    """
+    m1 = A11.shape[-1]
+    det1, Gt_ = _det_solve_lanes(
+        A11, jnp.concatenate([A12, B1], axis=-1))
+    G = Gt_[..., :A12.shape[-1]]
+    t = Gt_[..., A12.shape[-1]:]
+    A21Gt = A21 @ Gt_
+    S = A22 - A21Gt[..., :A12.shape[-1]]
+    rhs2 = B2 - A21Gt[..., A12.shape[-1]:]
+    det2, Y2 = _det_solve_lanes(S, rhs2)
+    Y1 = t - G @ Y2
+    return det1 * det2, jnp.concatenate([Y1, Y2], axis=-2)
+
+
+def batched_det_solve(A: jax.Array, B: jax.Array):
+    """(det(A), A^{-1} B) for A (..., m, m), B (..., m, k)."""
+    impl = _resolve_impl()
+    if impl in ("lanes", "pallas") and A.shape[-1] > 2:
+        shape = A.shape
+        det, Y = _det_solve_lanes(
+            A.reshape((-1,) + shape[-2:]),
+            B.reshape((-1,) + B.shape[-2:]))
+        return det.reshape(shape[:-2]), Y.reshape(B.shape)
+    det, inv = batched_det_inv(A)
+    return det, jnp.einsum("...ab,...bj->...aj", inv, B)
+
+
+def batched_det_solve_blocks(A11, A12, A21, A22, B1, B2):
+    """(det, [Y1; Y2]) of the 2x2-blocked system — callers that assemble
+    the blocks natively (the WM A-matrix) skip the (n, 2r, 2r) concat +
+    re-slice roundtrip entirely on the lanes path."""
+    impl = _resolve_impl()
+    if impl in ("lanes", "pallas") and A11.shape[-1] > 2:
+        return _det_solve_lanes_blocks(A11, A12, A21, A22, B1, B2)
+    A = jnp.concatenate([
+        jnp.concatenate([A11, A12], axis=-1),
+        jnp.concatenate([A21, A22], axis=-1)], axis=-2)
+    B = jnp.concatenate([B1, B2], axis=-2)
+    return batched_det_solve(A, B)
+
+
 def batched_det_inv(A: jax.Array):
     """(det, inv) of a batch of small (complex) matrices, shape
     (..., r, r) — any number of leading batch dims.

@@ -7,7 +7,8 @@ Currently: the batched complex determinant of the semiclassical prefactor
 
 from semiclassical_tpu.ops.det_kernel import (pallas_batched_det,
                                               pallas_batched_det_inv_lanes,
-                                              pallas_batched_det_lanes)
+                                              pallas_batched_det_lanes,
+                                              pallas_batched_det_solve_lanes)
 
 __all__ = ["pallas_batched_det", "pallas_batched_det_lanes",
-           "pallas_batched_det_inv_lanes"]
+           "pallas_batched_det_inv_lanes", "pallas_batched_det_solve_lanes"]

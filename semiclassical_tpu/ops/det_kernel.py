@@ -49,7 +49,7 @@ except Exception:  # pragma: no cover
     _HAVE_PLTPU = False
 
 __all__ = ["pallas_batched_det", "pallas_batched_det_lanes",
-           "pallas_batched_det_inv_lanes"]
+           "pallas_batched_det_inv_lanes", "pallas_batched_det_solve_lanes"]
 
 LANES = 128
 
@@ -373,6 +373,159 @@ def _gj_det_inv_lanes_kernel(a_in, inv_ref, out_re_ref, out_im_ref, a_ref):
     inv_ref[:] = a_ref[:]
     out_re_ref[:] = jnp.broadcast_to(det_re, out_re_ref.shape)
     out_im_ref[:] = jnp.broadcast_to(det_im, out_im_ref.shape)
+
+
+def _gj_det_solve_lanes_kernel(a_in, sol_ref, out_re_ref, out_im_ref, a_ref):
+    """Augmented Gauss-Jordan: eliminate [A | B] in place -> (det A, A^{-1}B).
+
+    Layout (m, 2w, T), w = m + k: sublanes [A cols re | B cols re |
+    A cols im | B cols im], lanes = trajectories. The round-3 profile
+    showed the WM A-chain is HBM-bandwidth-bound: the block-Schur
+    det+solve spends ~56 ms/step in 8 batched (n, 60, 60) complex matmul
+    ROUNDTRIPS at ~2 TF/s. Fusing the elimination with the solve removes
+    those roundtrips: one HBM read of [A | B], one write of A^{-1} B.
+
+    Column-shrunk: unlike the inverse kernel (which must keep every
+    column alive to accumulate A^{-1}), a solve never reads A-columns
+    <= kp again after pivot kp — step kp updates only the (m - kp - 1)
+    trailing A columns plus the k B columns, for
+    8 m^2 (m/2 + k) VPU flops per trajectory instead of 8 m^2 (m + k)."""
+    m, w2, T = a_in.shape  # w2 = 2 w
+    w = w2 // 2
+    k = w - m
+    a_ref[:] = a_in[:]
+
+    det_re = jnp.ones((1, T), jnp.float32)
+    det_im = jnp.zeros((1, T), jnp.float32)
+
+    for kp in range(m):  # static unroll: every slice below is static
+        p_re = a_ref[kp, kp:kp + 1, :]                   # (1, T)
+        p_im = a_ref[kp, w + kp:w + kp + 1, :]
+
+        det_re, det_im = (det_re * p_re - det_im * p_im,
+                          det_re * p_im + det_im * p_re)
+
+        inv_den = 1.0 / (p_re * p_re + p_im * p_im)
+        ip_re = p_re * inv_den
+        ip_im = -p_im * inv_den
+
+        # scaled pivot row rs = row_kp / p over the live columns only
+        rsB_re = (a_ref[kp, m:w, :] * ip_re
+                  - a_ref[kp, w + m:, :] * ip_im)        # (k, T)
+        rsB_im = (a_ref[kp, m:w, :] * ip_im
+                  + a_ref[kp, w + m:, :] * ip_re)
+
+        # pivot column (saved before the update)
+        c_re = a_ref[:, kp, :]                           # (m, T)
+        c_im = a_ref[:, w + kp, :]
+
+        if kp < m - 1:
+            rsA_re = (a_ref[kp, kp + 1:m, :] * ip_re
+                      - a_ref[kp, w + kp + 1:w + m, :] * ip_im)
+            rsA_im = (a_ref[kp, kp + 1:m, :] * ip_im
+                      + a_ref[kp, w + kp + 1:w + m, :] * ip_re)
+            fr = c_re[:, None, :]
+            fi = c_im[:, None, :]
+            # rank-1 elimination of ALL rows over the live A columns; row
+            # kp becomes 0 (c_kp = p, p * rs = row_kp) and is restored
+            a_ref[:, kp + 1:m, :] = (a_ref[:, kp + 1:m, :]
+                                     - fr * rsA_re[None]
+                                     + fi * rsA_im[None])
+            a_ref[:, w + kp + 1:w + m, :] = (a_ref[:, w + kp + 1:w + m, :]
+                                             - fr * rsA_im[None]
+                                             - fi * rsA_re[None])
+            a_ref[kp, kp + 1:m, :] = rsA_re
+            a_ref[kp, w + kp + 1:w + m, :] = rsA_im
+        else:
+            fr = c_re[:, None, :]
+            fi = c_im[:, None, :]
+
+        a_ref[:, m:w, :] = (a_ref[:, m:w, :]
+                            - fr * rsB_re[None]
+                            + fi * rsB_im[None])
+        a_ref[:, w + m:, :] = (a_ref[:, w + m:, :]
+                               - fr * rsB_im[None]
+                               - fi * rsB_re[None])
+        a_ref[kp, m:w, :] = rsB_re
+        a_ref[kp, w + m:, :] = rsB_im
+
+    # the B columns now hold A^{-1} B
+    sol_ref[:, :k, :] = a_ref[:, m:w, :]
+    sol_ref[:, k:, :] = a_ref[:, w + m:, :]
+    out_re_ref[:] = jnp.broadcast_to(det_re, out_re_ref.shape)
+    out_im_ref[:] = jnp.broadcast_to(det_im, out_im_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pallas_batched_det_solve_lanes(A: jax.Array, B: jax.Array,
+                                   tile: int = 128):
+    """(det(A), A^{-1} B) for complex64 A (n, m, m), B (n, m, k).
+
+    Trajectory-in-lanes augmented Gauss-Jordan; n is padded to a multiple
+    of `tile` with identity A / zero B blocks (det = 1, sol = 0)."""
+    n, m, _ = A.shape
+    k = B.shape[-1]
+    Are = jnp.real(A).astype(jnp.float32)
+    Aim = jnp.imag(A).astype(jnp.float32)
+    Bre = jnp.real(B).astype(jnp.float32)
+    Bim = jnp.imag(B).astype(jnp.float32)
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=jnp.float32),
+                               (n_pad - n, m, m))
+        zpad = jnp.zeros((n_pad - n, m, m), jnp.float32)
+        zb = jnp.zeros((n_pad - n, m, k), jnp.float32)
+        Are = jnp.concatenate([Are, eye], axis=0)
+        Aim = jnp.concatenate([Aim, zpad], axis=0)
+        Bre = jnp.concatenate([Bre, zb], axis=0)
+        Bim = jnp.concatenate([Bim, zb], axis=0)
+    # (m, 2(m+k), n): row index outer, [A re | B re | A im | B im] sublanes
+    pack = jnp.concatenate([jnp.transpose(Are, (1, 2, 0)),
+                            jnp.transpose(Bre, (1, 2, 0)),
+                            jnp.transpose(Aim, (1, 2, 0)),
+                            jnp.transpose(Bim, (1, 2, 0))], axis=1)
+
+    w = m + k
+    ntiles = n_pad // tile
+    kwargs = {}
+    if _HAVE_PLTPU and jax.default_backend() == "tpu":
+        in_spec = pl.BlockSpec((m, 2 * w, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        sol_spec = pl.BlockSpec((m, 2 * k, tile), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        det_spec = lambda: pl.BlockSpec((8, tile), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    else:
+        in_spec = pl.BlockSpec((m, 2 * w, tile), lambda i: (0, 0, i))
+        sol_spec = pl.BlockSpec((m, 2 * k, tile), lambda i: (0, 0, i))
+        det_spec = lambda: pl.BlockSpec((8, tile), lambda i: (i, 0))
+        kwargs["interpret"] = True
+    scratch = [pltpu.VMEM((m, 2 * w, tile), jnp.float32)]
+
+    # see pallas_batched_det: gridded kernels must be traced in 32-bit mode
+    with jax.enable_x64(False):
+        sol_pack, out_re, out_im = pl.pallas_call(
+            _gj_det_solve_lanes_kernel,
+            grid=(ntiles,),
+            in_specs=[in_spec],
+            out_specs=(sol_spec, det_spec(), det_spec()),
+            out_shape=(
+                jax.ShapeDtypeStruct((m, 2 * k, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((8 * ntiles, tile), jnp.float32),
+                jax.ShapeDtypeStruct((8 * ntiles, tile), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            **kwargs,
+        )(pack)
+
+    take = lambda o: o.reshape(ntiles, 8, tile)[:, 0, :].reshape(-1)[:n]
+    det = jax.lax.complex(take(out_re), take(out_im))
+    sol = jax.lax.complex(
+        jnp.transpose(sol_pack[:, :k, :n], (2, 0, 1)),
+        jnp.transpose(sol_pack[:, k:, :n], (2, 0, 1)))
+    return det, sol
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

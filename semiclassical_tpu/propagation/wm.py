@@ -393,54 +393,67 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
     hk = params.hk
     cdtype = hk.cdtype
     rd = real_dtype(cdtype)
+    r = params.rank
 
     # balanced projections: U1/U2 carry D and 1/sqrt(s)
-    Mqq = state.Mqq.astype(rd)
-    Mqp = state.Mqp.astype(rd)
-    Mpq = state.Mpq.astype(rd)
-    Mpp = state.Mpp.astype(rd)
-    MqqU1 = Mqq @ params.U1
-    MqpU2 = Mqp @ params.U2
-    MpqU1 = Mpq @ params.U1
-    MppU2 = Mpp @ params.U2
-    MqzUb = jnp.concatenate([MqqU1, MqpU2], axis=2)        # (n, d, 2r)
-    MpzUb = jnp.concatenate([MpqU1, MppU2], axis=2)
+    X1 = state.Mqq.astype(rd) @ params.U1                  # (n, d, r)
+    X2 = state.Mqp.astype(rd) @ params.U2
+    Z1 = state.Mpq.astype(rd) @ params.U1
+    Z2 = state.Mpp.astype(rd) @ params.U2
 
-    # -hessL + 2i/hbar Mpz^T Mqz merges into one imaginary block matrix:
-    # (i/hbar) [[T11, T12], [2 T21 - T12^T, 2 T22 - T22^T]]
-    T11 = jnp.einsum("nia,nib->nab", MpqU1, MqqU1)
-    T12 = jnp.einsum("nia,nib->nab", MpqU1, MqpU2)
-    T21 = jnp.einsum("nia,nib->nab", MppU2, MqqU1)
-    T22 = jnp.einsum("nia,nib->nab", MppU2, MqpU2)
+    Gt = params.Gt.astype(rd)
+    W1 = jnp.einsum("ij,njb->nib", Gt, X1)                 # (n, d, r)
+    W2 = jnp.einsum("ij,njb->nib", Gt, X2)
+
+    # Gram blocks of the TRANSPOSED balanced A-matrix. Transposes are free
+    # here: swapping the einsum operands reads the transposed Gram block
+    # directly. Assembling At = Ab^T blockwise (instead of Ab via the
+    # (n, 2r, 2r) concat) feeds the block solve below with zero re-slicing,
+    # and At^{-1} P is exactly the Ab^{-T} P every downstream contraction
+    # needs. Blocks of Ab: sym = [X|..]^T Gt [X|..] (symmetric), and
+    # imag = [[T11, T12], [2 T21 - T12^T, 2 T22 - T22^T]] with
+    # Tij = (Z|X pairs); the transposed assembly uses
+    # imag^T = [[T11^T, 2 T21^T - T12], [T12^T, 2 T22^T - T22]].
+    sym11 = jnp.einsum("nia,nib->nab", X1, W1)             # (n, r, r)
+    sym12 = jnp.einsum("nia,nib->nab", X1, W2)
+    sym22 = jnp.einsum("nia,nib->nab", X2, W2)
+    T11t = jnp.einsum("nia,nib->nab", X1, Z1)              # = T11^T
+    T12 = jnp.einsum("nia,nib->nab", Z1, X2)
+    T21t = jnp.einsum("nia,nib->nab", X1, Z2)              # = T21^T
+    T22 = jnp.einsum("nia,nib->nab", Z2, X2)
+    sym21 = jnp.swapaxes(sym12, 1, 2)
     T12t = jnp.swapaxes(T12, 1, 2)
     T22t = jnp.swapaxes(T22, 1, 2)
-    imag_blk = jnp.concatenate([
-        jnp.concatenate([T11, T12], axis=2),
-        jnp.concatenate([2.0 * T21 - T12t, 2.0 * T22 - T22t], axis=2),
-    ], axis=1)                                             # (n, 2r, 2r)
 
-    GtMqzUb = jnp.einsum("ij,njb->nib", params.Gt.astype(rd), MqzUb)
-    sym_blk = jnp.einsum("nia,nib->nab", MqzUb, GtMqzUb)
+    cbT = jnp.swapaxes(params.A_const_b, 0, 1)             # (2r, 2r) const
+    At11 = (cbT[None, :r, :r] + sym11.astype(cdtype)
+            + times_i(T11t / hbar))
+    At12 = (cbT[None, :r, r:] + sym12.astype(cdtype)
+            + times_i((2.0 * T21t - T12) / hbar))
+    At21 = (cbT[None, r:, :r] + sym21.astype(cdtype)
+            + times_i(T12t / hbar))
+    At22 = (cbT[None, r:, r:] + sym22.astype(cdtype)
+            + times_i((2.0 * T22t - T22) / hbar))
 
-    Ab = (params.A_const_b[None]
-          + sym_blk.astype(cdtype)
-          + times_i(imag_blk / hbar))
-
-    # Y = iAb^T P with P = BQUb^T U — the single solve product every
-    # downstream contraction reuses (P^T iAb z = (iAb^T P)^T z = Y^T z);
-    # fused det+solve never materialises the (n, 2r, 2r) inverse
-    BQUb = GtMqzUb.astype(cdtype) + times_i(MpzUb / hbar)  # (n, d, 2r)
+    # P = BQUb^T U in row blocks: BQUb = [W1 + i Z1/hbar | W2 + i Z2/hbar]
     U = hk.U.astype(rd)
-    P = jnp.einsum("nia,ij->naj", BQUb, U)                 # (n, 2r, r)
-    detA, Y = linalg.batched_det_solve_t(Ab, P)            # (n, 2r, r)
+    P1 = (jnp.einsum("nia,ij->naj", W1, U).astype(cdtype)
+          + times_i(jnp.einsum("nia,ij->naj", Z1, U) / hbar))  # (n, r, r)
+    P2 = (jnp.einsum("nia,ij->naj", W2, U).astype(cdtype)
+          + times_i(jnp.einsum("nia,ij->naj", Z2, U) / hbar))
+
+    # Y = Ab^{-T} P = At^{-1} P — fused block det+solve (the round-3
+    # profile: the block-Schur inverse route spent ~56 ms/step in batched
+    # matmul HBM roundtrips; the augmented-GJ kernels replace them)
+    detA, Y = linalg.batched_det_solve_blocks(
+        At11, At12, At21, At22, P1, P2)                    # (n, 2r, r)
+    P = jnp.concatenate([P1, P2], axis=1)                  # (n, 2r, r)
 
     # M' = U^T (G0 + Gt(t)) U ... = M0 - Y^T (P + C2b Y)  (eqns. 68, 78)
     C2Y = jnp.einsum("ab,nbk->nak", params.C2b, Y)
     Mp = (params.M0.astype(cdtype)[None]
           - jnp.einsum("nak,nal->nkl", Y, P + C2Y))
     m_scale = params.m_scale.astype(rd)
-    detM, iM_s = linalg.batched_det_inv(Mp / m_scale)
-    iM = iM_s / m_scale                                    # (n, r, r)
 
     # projected observable vectors (differences at trajectory precision)
     t = params.Gt.dtype
@@ -465,9 +478,11 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
     dPIQ_U = ((dp @ U.astype(t)).astype(cdtype)
               + jnp.einsum("nak,na->nk", Y, bc.z0))        # (n, r)
 
-    # one iM application for the whole 5-vector stack, then the Gram matrix
+    # one fused det+solve applies iM to the whole 5-vector stack — the
+    # (n, r, r) inverse is never materialised
     stack = jnp.stack([A_dq, A_n1q, G_dQ, G_n1Q, dPIQ_U], axis=2)  # (n,r,5)
-    iM_stack = jnp.einsum("nab,nbk->nak", iM, stack)
+    detM, Z5 = linalg.batched_det_solve(Mp / m_scale, stack)
+    iM_stack = Z5 / m_scale
     gram = jnp.einsum("nak,nal->nkl", stack, iM_stack)     # (n, 5, 5)
 
     # constant-matrix bilinear pieces

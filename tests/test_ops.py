@@ -76,6 +76,60 @@ def test_det_solve_t_blocked(monkeypatch):
         assert np.abs(np.asarray(Y) - Yn).max() < 1e-4, (n, m, k)
 
 
+def test_pallas_det_solve_vs_lapack():
+    """Fused augmented-GJ det + A^{-1} B (the round-3 WM solve kernel),
+    including n not a multiple of the tile (identity/zero padding)."""
+    from semiclassical_tpu.ops import pallas_batched_det_solve_lanes
+
+    rng = np.random.default_rng(6)
+    for n, m, k in [(100, 7, 3), (64, 13, 13), (130, 8, 20), (16, 1, 2)]:
+        A = _random_well_conditioned(rng, n, m)
+        B = (rng.standard_normal((n, m, k))
+             + 1j * rng.standard_normal((n, m, k))).astype(np.complex64)
+        d, Y = pallas_batched_det_solve_lanes(jnp.asarray(A), jnp.asarray(B))
+        A128 = A.astype(np.complex128)
+        dn = np.linalg.det(A128)
+        Yn = np.linalg.solve(A128, B.astype(np.complex128))
+        assert np.abs(np.asarray(d) - dn).max() / np.abs(dn).max() < 1e-5
+        assert np.abs(np.asarray(Y) - Yn).max() < 1e-5, (n, m, k)
+
+
+def test_det_solve_blocked(monkeypatch):
+    """batched_det_solve & the block-entry variant above _GJ_LEAF (the WM
+    At-chain path) vs LAPACK, including an odd split."""
+    from semiclassical_tpu import linalg
+
+    monkeypatch.setattr(linalg, "_GJ_LEAF", 8)
+    monkeypatch.setattr(linalg, "_LINALG_IMPL", "lanes")
+    rng = np.random.default_rng(7)
+    for n, m, k in [(32, 20, 10), (16, 13, 4)]:
+        A = _random_well_conditioned(rng, n, m)
+        B = (rng.standard_normal((n, m, k))
+             + 1j * rng.standard_normal((n, m, k))).astype(np.complex64)
+        det, Y = linalg.batched_det_solve(jnp.asarray(A), jnp.asarray(B))
+        A128 = A.astype(np.complex128)
+        dn = np.linalg.det(A128)
+        Yn = np.linalg.solve(A128, B.astype(np.complex128))
+        assert np.abs(np.asarray(det) - dn).max() / np.abs(dn).max() < 1e-4
+        assert np.abs(np.asarray(Y) - Yn).max() < 1e-4, (n, m, k)
+
+    # block-entry form: even split, blocks passed directly
+    n, m, k = 24, 16, 6
+    A = _random_well_conditioned(rng, n, m)
+    B = (rng.standard_normal((n, m, k))
+         + 1j * rng.standard_normal((n, m, k))).astype(np.complex64)
+    r1 = m // 2
+    Aj = jnp.asarray(A)
+    Bj = jnp.asarray(B)
+    det, Y = linalg.batched_det_solve_blocks(
+        Aj[:, :r1, :r1], Aj[:, :r1, r1:], Aj[:, r1:, :r1], Aj[:, r1:, r1:],
+        Bj[:, :r1, :], Bj[:, r1:, :])
+    A128 = A.astype(np.complex128)
+    assert np.abs(np.asarray(det) - np.linalg.det(A128)).max() < 1e-4
+    assert np.abs(np.asarray(Y)
+                  - np.linalg.solve(A128, B.astype(np.complex128))).max() < 1e-4
+
+
 def test_batched_det_inv_leading_batch_dims():
     """batched_det_inv accepts (..., m, m) with several leading dims on the
     pallas route (wm_norm's (bi, bj, r, r) blocks)."""
