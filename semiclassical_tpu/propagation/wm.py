@@ -396,51 +396,47 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
     r = params.rank
 
     # balanced projections: U1/U2 carry D and 1/sqrt(s)
-    X1 = state.Mqq.astype(rd) @ params.U1                  # (n, d, r)
-    X2 = state.Mqp.astype(rd) @ params.U2
-    Z1 = state.Mpq.astype(rd) @ params.U1
-    Z2 = state.Mpp.astype(rd) @ params.U2
+    X2 = state.Mqp.astype(rd) @ params.U2                  # (n, d, r)
+    XL = jnp.concatenate(
+        [state.Mqq.astype(rd) @ params.U1, X2], axis=2)    # (n, d, 2r)
+    ZL = jnp.concatenate(
+        [state.Mpq.astype(rd) @ params.U1,
+         state.Mpp.astype(rd) @ params.U2], axis=2)        # (n, d, 2r)
 
     Gt = params.Gt.astype(rd)
-    W1 = jnp.einsum("ij,njb->nib", Gt, X1)                 # (n, d, r)
-    W2 = jnp.einsum("ij,njb->nib", Gt, X2)
+    W = jnp.einsum("ij,njb->nib", Gt, XL)                  # (n, d, 2r)
 
-    # Gram blocks of the TRANSPOSED balanced A-matrix. Transposes are free
-    # here: swapping the einsum operands reads the transposed Gram block
-    # directly. Assembling At = Ab^T blockwise (instead of Ab via the
-    # (n, 2r, 2r) concat) feeds the block solve below with zero re-slicing,
-    # and At^{-1} P is exactly the Ab^{-T} P every downstream contraction
-    # needs. Blocks of Ab: sym = [X|..]^T Gt [X|..] (symmetric), and
-    # imag = [[T11, T12], [2 T21 - T12^T, 2 T22 - T22^T]] with
-    # Tij = (Z|X pairs); the transposed assembly uses
-    # imag^T = [[T11^T, 2 T21^T - T12], [T12^T, 2 T22^T - T22]].
-    sym11 = jnp.einsum("nia,nib->nab", X1, W1)             # (n, r, r)
-    sym12 = jnp.einsum("nia,nib->nab", X1, W2)
-    sym22 = jnp.einsum("nia,nib->nab", X2, W2)
-    T11t = jnp.einsum("nia,nib->nab", X1, Z1)              # = T11^T
-    T12 = jnp.einsum("nia,nib->nab", Z1, X2)
-    T21t = jnp.einsum("nia,nib->nab", X1, Z2)              # = T21^T
-    T22 = jnp.einsum("nia,nib->nab", Z2, X2)
-    sym21 = jnp.swapaxes(sym12, 1, 2)
-    T12t = jnp.swapaxes(T12, 1, 2)
-    T22t = jnp.swapaxes(T22, 1, 2)
+    # Gram blocks of the TRANSPOSED balanced A-matrix, from THREE wide
+    # batched matmuls (the round-2 seven (n, r, r) einsums each padded
+    # their 60 output lanes to 128 — the 2r-wide outputs here pad 120->128):
+    #   G  = [X1|X2]^T Gt [X1|X2]   all four symmetric blocks at once
+    #   B  = [X1|X2]^T [Z1|Z2]      = [[T11^T, T21^T], [T12^T, T22^T]]
+    #   TR = [Z1|Z2]^T X2           = [[T12], [T22]]  (n, 2r, r)
+    # Blocks of Ab: sym (symmetric) and imag = [[T11, T12],
+    # [2 T21 - T12^T, 2 T22 - T22^T]]; the transposed assembly needs
+    # imag^T = [[T11^T, 2 T21^T - T12], [T12^T, 2 T22^T - T22]] — its left
+    # half is B's, its right half is 2 B[:, :, r:] - TR.
+    G = jnp.einsum("nia,nib->nab", XL, W)                  # (n, 2r, 2r)
+    B = jnp.einsum("nia,nib->nab", XL, ZL)                 # (n, 2r, 2r)
+    TR = jnp.einsum("nia,nib->nab", ZL, X2)                # (n, 2r, r)
 
     cbT = jnp.swapaxes(params.A_const_b, 0, 1)             # (2r, 2r) const
-    At11 = (cbT[None, :r, :r] + sym11.astype(cdtype)
-            + times_i(T11t / hbar))
-    At12 = (cbT[None, :r, r:] + sym12.astype(cdtype)
-            + times_i((2.0 * T21t - T12) / hbar))
-    At21 = (cbT[None, r:, :r] + sym21.astype(cdtype)
-            + times_i(T12t / hbar))
-    At22 = (cbT[None, r:, r:] + sym22.astype(cdtype)
-            + times_i((2.0 * T22t - T22) / hbar))
+    At11 = (cbT[None, :r, :r] + G[:, :r, :r].astype(cdtype)
+            + times_i(B[:, :r, :r] / hbar))
+    At12 = (cbT[None, :r, r:] + G[:, :r, r:].astype(cdtype)
+            + times_i((2.0 * B[:, :r, r:] - TR[:, :r, :]) / hbar))
+    At21 = (cbT[None, r:, :r] + G[:, r:, :r].astype(cdtype)
+            + times_i(B[:, r:, :r] / hbar))
+    At22 = (cbT[None, r:, r:] + G[:, r:, r:].astype(cdtype)
+            + times_i((2.0 * B[:, r:, r:] - TR[:, r:, :]) / hbar))
 
-    # P = BQUb^T U in row blocks: BQUb = [W1 + i Z1/hbar | W2 + i Z2/hbar]
+    # P = BQUb^T U with BQUb = W + i ZL/hbar — two fused 2r-row products
+    # instead of four r-row ones
     U = hk.U.astype(rd)
-    P1 = (jnp.einsum("nia,ij->naj", W1, U).astype(cdtype)
-          + times_i(jnp.einsum("nia,ij->naj", Z1, U) / hbar))  # (n, r, r)
-    P2 = (jnp.einsum("nia,ij->naj", W2, U).astype(cdtype)
-          + times_i(jnp.einsum("nia,ij->naj", Z2, U) / hbar))
+    PW = jnp.einsum("nia,ij->naj", W, U)                   # (n, 2r, r)
+    PZ = jnp.einsum("nia,ij->naj", ZL, U)
+    P1 = PW[:, :r, :].astype(cdtype) + times_i(PZ[:, :r, :] / hbar)
+    P2 = PW[:, r:, :].astype(cdtype) + times_i(PZ[:, r:, :] / hbar)
 
     # Y = Ab^{-T} P = At^{-1} P — fused block det+solve (the round-3
     # profile: the block-Schur inverse route spent ~56 ms/step in batched
