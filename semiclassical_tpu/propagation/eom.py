@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from semiclassical_tpu.potentials.base import DiagHessian
 from semiclassical_tpu.propagation.state import TrajState
 
 __all__ = ["state_derivative", "rk4_step"]
@@ -103,6 +104,58 @@ def rk4_step(state: TrajState, potential, dt):
     im = inv_m.astype(mdt)[None, :, None]
     dts = jnp.asarray(dt).astype(mdt)
     h6, h3, h2 = dts / 6.0, dts / 3.0, dts / 2.0
+
+    if all(isinstance(H, DiagHessian) for H in (H1, H2, H3, H4)):
+        # Diagonal stage Hessians decouple the monodromy rows: for row i,
+        # d(Ma_i)/dt = Mb_i / m_i and d(Mb_i)/dt = -h_i(t) Ma_i with SCALAR
+        # coefficients, so the whole RK4 update is a per-(trajectory, row)
+        # 2x2 linear map. Running the identical stage recurrence on the
+        # (1, 0) / (0, 1) seeds yields its four (n, d) coefficients exactly
+        # (same arithmetic, bit-reordered only), and the O(n d^2) work
+        # collapses to ONE fused recombination pass over the four blocks —
+        # instead of ~16 streamed (n, d, d) buffer traversals. This is the
+        # HBM-bandwidth lever that the fused in-VMEM kernel idea targeted,
+        # with no kernel needed.
+        u = inv_m.astype(mdt)[None, :]
+        hs = tuple(H.diag.astype(mdt) for H in (H1, H2, H3, H4))
+
+        def row_map(a, b):
+            ka = u * b
+            kb = -hs[0] * a
+            acc_a = a + h6 * ka
+            acc_b = b + h6 * kb
+            sa = a + h2 * ka
+            sb = b + h2 * kb
+            ka = u * sb
+            kb = -hs[1] * sa
+            acc_a = acc_a + h3 * ka
+            acc_b = acc_b + h3 * kb
+            sa = a + h2 * ka
+            sb = b + h2 * kb
+            ka = u * sb
+            kb = -hs[2] * sa
+            acc_a = acc_a + h3 * ka
+            acc_b = acc_b + h3 * kb
+            sa = a + dts * ka
+            sb = b + dts * kb
+            ka = u * sb
+            kb = -hs[3] * sa
+            return acc_a + h6 * ka, acc_b + h6 * kb
+
+        one = jnp.ones_like(hs[0])
+        zero = jnp.zeros_like(hs[0])
+        raa, rba = row_map(one, zero)
+        rab, rbb = row_map(zero, one)
+        raa, rab = raa[:, :, None], rab[:, :, None]
+        rba, rbb = rba[:, :, None], rbb[:, :, None]
+        new_state = TrajState(
+            q=new_q, p=new_p, S=new_S,
+            Mqq=raa * state.Mqq + rab * state.Mpq,
+            Mpq=rba * state.Mqq + rbb * state.Mpq,
+            Mqp=raa * state.Mqp + rab * state.Mpp,
+            Mpp=rba * state.Mqp + rbb * state.Mpp,
+        )
+        return new_state, mean_energy
 
     def pair(Ma, Mb):
         """RK4 for dMa/dt = Mb/m, dMb/dt = -H(t) Ma, with sequential
