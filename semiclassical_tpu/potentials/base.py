@@ -22,9 +22,11 @@ class DiagHessian:
     diag: jnp.ndarray
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
-        """H @ M for monodromy blocks M of shape (n, d, d) (result keeps
-        M's dtype — the monodromy precision is a deliberate choice)."""
-        return self.diag.astype(M.dtype)[:, :, None] * M
+        """H @ M for monodromy blocks M of shape (n, d, d), or (n, d) in
+        the diagonal-monodromy representation (result keeps M's dtype —
+        the monodromy precision is a deliberate choice)."""
+        h = self.diag.astype(M.dtype)
+        return h * M if M.ndim == 2 else h[:, :, None] * M
 
     def dense(self) -> jnp.ndarray:
         n, d = self.diag.shape

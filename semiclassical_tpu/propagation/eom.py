@@ -54,11 +54,17 @@ def state_derivative(state: TrajState, potential):
     tkin = 0.5 * jnp.sum(state.p**2 * inv_m[None, :], axis=1)
 
     inv_m_mono = inv_m.astype(state.Mqq.dtype)
+    if state.diag_monodromy and not isinstance(hess, DiagHessian):
+        raise TypeError(
+            "diagonal-monodromy state requires a separable potential "
+            "(DiagHessian local expansions)")
+    im = (inv_m_mono[None, :] if state.diag_monodromy
+          else inv_m_mono[None, :, None])
     dstate = TrajState(
         q=state.p * inv_m[None, :],
         p=-grad.astype(state.p.dtype),
-        Mqq=state.Mpq * inv_m_mono[None, :, None],
-        Mqp=state.Mpp * inv_m_mono[None, :, None],
+        Mqq=state.Mpq * im,
+        Mqp=state.Mpp * im,
         Mpq=-hess.matmul(state.Mqq),
         Mpp=-hess.matmul(state.Mqp),
         S=tkin - vpot,
@@ -105,17 +111,17 @@ def rk4_step(state: TrajState, potential, dt):
     dts = jnp.asarray(dt).astype(mdt)
     h6, h3, h2 = dts / 6.0, dts / 3.0, dts / 2.0
 
-    if all(isinstance(H, DiagHessian) for H in (H1, H2, H3, H4)):
-        # Diagonal stage Hessians decouple the monodromy rows: for row i,
-        # d(Ma_i)/dt = Mb_i / m_i and d(Mb_i)/dt = -h_i(t) Ma_i with SCALAR
-        # coefficients, so the whole RK4 update is a per-(trajectory, row)
-        # 2x2 linear map. Running the identical stage recurrence on the
-        # (1, 0) / (0, 1) seeds yields its four (n, d) coefficients exactly
-        # (same arithmetic, bit-reordered only), and the O(n d^2) work
-        # collapses to ONE fused recombination pass over the four blocks —
-        # instead of ~16 streamed (n, d, d) buffer traversals. This is the
-        # HBM-bandwidth lever that the fused in-VMEM kernel idea targeted,
-        # with no kernel needed.
+    if state.diag_monodromy:
+        # Diagonal monodromy representation ((n, d) blocks — valid only for
+        # separable potentials, see TrajState): every stage Hessian must be
+        # diagonal, and the RK4 update of mode i is the per-(trajectory,
+        # mode) 2x2 linear map obtained by running the stage recurrence on
+        # the (1, 0) / (0, 1) seeds. The O(n d^2) monodromy work of the
+        # dense path disappears entirely.
+        if not all(isinstance(H, DiagHessian) for H in (H1, H2, H3, H4)):
+            raise TypeError(
+                "diagonal-monodromy state requires a separable potential "
+                "(DiagHessian local expansions)")
         u = inv_m.astype(mdt)[None, :]
         hs = tuple(H.diag.astype(mdt) for H in (H1, H2, H3, H4))
 
@@ -146,8 +152,6 @@ def rk4_step(state: TrajState, potential, dt):
         zero = jnp.zeros_like(hs[0])
         raa, rba = row_map(one, zero)
         rab, rbb = row_map(zero, one)
-        raa, rab = raa[:, :, None], rab[:, :, None]
-        rba, rbb = rba[:, :, None], rbb[:, :, None]
         new_state = TrajState(
             q=new_q, p=new_p, S=new_S,
             Mqq=raa * state.Mqq + rab * state.Mpq,

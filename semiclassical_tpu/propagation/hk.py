@@ -63,7 +63,7 @@ def complex_dtype(dtype):
     return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
 
 
-@pytree_dataclass(meta=("dim", "rank", "factors_real"))
+@pytree_dataclass(meta=("dim", "rank", "factors_real", "factors_diag"))
 class HKParams:
     """Constant parameter pack of the HK propagator.
 
@@ -104,6 +104,11 @@ class HKParams:
     dim: int
     rank: int
     factors_real: bool  # static: all imaginary planes exactly zero
+    factors_diag: bool  # static: real factors whose Lt_x Ri_y products are
+                        # all diagonal (diagonal widths, up to the mode
+                        # permutation in U) — the assembled prefactor matrix
+                        # is then diagonal for any diagonal monodromy, and
+                        # the determinant is a per-mode product
 
     @property
     def cdtype(self):
@@ -174,6 +179,17 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
     factors_real = all(
         float(np.abs(np.imag(m)).max()) == 0.0
         for m in (Lt_s, Lt_i, Ri_s, Ri_i))
+    # The prefactor matrix Lt_x diag(m) Ri_y is diagonal for EVERY
+    # diagonal m iff each |Lt_x| |Ri_y| product has zero off-diagonal —
+    # true for diagonal widths up to the mode permutation U introduces
+    # (the factors are then generalized permutation matrices).
+    def _offdiag_zero(L, R):
+        O = np.abs(L) @ np.abs(R)
+        return float(np.abs(O - np.diag(np.diag(O))).max()) == 0.0
+
+    factors_diag = factors_real and all(
+        _offdiag_zero(L.real, R.real)
+        for L, R in ((Lt_s, Ri_i), (Lt_s, Ri_s), (Lt_i, Ri_s), (Lt_i, Ri_i)))
     plane = lambda m: jnp.asarray(m, dtype=rdtype)
     return HKParams(
         Lt_s_re=plane(Lt_s.real), Lt_s_im=plane(Lt_s.imag),
@@ -181,6 +197,7 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
         Ri_s_re=plane(Ri_s.real), Ri_s_im=plane(Ri_s.imag),
         Ri_i_re=plane(Ri_i.real), Ri_i_im=plane(Ri_i.imag),
         factors_real=factors_real,
+        factors_diag=factors_diag,
         q0=jnp.asarray(q0, dtype=traj_dtype),
         p0=jnp.asarray(p0, dtype=traj_dtype),
         G0=jnp.asarray(Gamma_0, dtype=traj_dtype),
@@ -220,13 +237,20 @@ def hk_prefactor_mat(params: HKParams, state: TrajState):
     Mqp = state.Mqp.astype(rdtype)
     Mpq = state.Mpq.astype(rdtype)
     Mpp = state.Mpp.astype(rdtype)
+    if state.diag_monodromy:
+        # (n, d) diagonal blocks: M @ Ri is a row scale of the constant
+        # right factor — the four batched (n, d, d) matmuls become
+        # elementwise producers XLA fuses into the Lt contractions.
+        rmul = lambda M, Ri: M[:, :, None] * Ri[None]
+    else:
+        rmul = lambda M, Ri: M @ Ri
     lt = lambda L, X: jnp.einsum("ai,nib->nab", L, X)
 
     # inner products with the right factors, by re/im plane
-    a_re = Mqq @ params.Ri_i_re
-    b_re = Mqp @ params.Ri_s_re
-    c_re = Mpp @ params.Ri_s_re
-    e_re = Mpq @ params.Ri_i_re
+    a_re = rmul(Mqq, params.Ri_i_re)
+    b_re = rmul(Mqp, params.Ri_s_re)
+    c_re = rmul(Mpp, params.Ri_s_re)
+    e_re = rmul(Mpq, params.Ri_i_re)
     if params.factors_real:
         # inner_s = a - i hbar b ; inner_i = c + (i/hbar) e — all planes real
         mat_re = 0.5 * (lt(params.Lt_s_re, a_re) + lt(params.Lt_i_re, c_re))
@@ -234,10 +258,10 @@ def hk_prefactor_mat(params: HKParams, state: TrajState):
                         + lt(params.Lt_i_re, e_re) / hbar)
         return mat_re, mat_im
 
-    a_im = Mqq @ params.Ri_i_im
-    b_im = Mqp @ params.Ri_s_im
-    c_im = Mpp @ params.Ri_s_im
-    e_im = Mpq @ params.Ri_i_im
+    a_im = rmul(Mqq, params.Ri_i_im)
+    b_im = rmul(Mqp, params.Ri_s_im)
+    c_im = rmul(Mpp, params.Ri_s_im)
+    e_im = rmul(Mpq, params.Ri_i_im)
     # inner_s = (Mqq Ri_i) - i hbar (Mqp Ri_s)
     s_re = a_re + hbar * b_im
     s_im = a_im - hbar * b_re
@@ -252,7 +276,34 @@ def hk_prefactor_mat(params: HKParams, state: TrajState):
 
 
 def hk_prefactor_det(params: HKParams, state: TrajState):
-    """C^2(t) for every trajectory, shape (n,) complex."""
+    """C^2(t) for every trajectory, shape (n,) complex.
+
+    When the width factors are diagonal (diagonal Gamma_i/Gamma_t, full
+    rank) AND the monodromy is in the diagonal representation, the
+    prefactor matrix itself is diagonal and the determinant is a plain
+    product over modes — the batched (n, r, r) determinant (the single
+    most expensive kernel of the dense HK step) disappears."""
+    if params.factors_diag and state.diag_monodromy:
+        rdtype = params.Lt_s_re.dtype
+        # per-mode weights of the diagonal: mat_aa = sum_i Lt[a,i] m_i
+        # Ri[i,a] = (m @ K^T)_a with K = Lt * Ri^T elementwise — constants,
+        # folded by XLA; the (n, d) @ (d, r) products replace the dense
+        # (n, r, r) assembly AND the batched determinant
+        Ka = (params.Lt_s_re * params.Ri_i_re.T).T         # (d, r)
+        Kb = (params.Lt_s_re * params.Ri_s_re.T).T
+        Kc = (params.Lt_i_re * params.Ri_s_re.T).T
+        Ke = (params.Lt_i_re * params.Ri_i_re.T).T
+        mqq = state.Mqq.astype(rdtype)
+        mqp = state.Mqp.astype(rdtype)
+        mpq = state.Mpq.astype(rdtype)
+        mpp = state.Mpp.astype(rdtype)
+        diag_re = 0.5 * (mqq @ Ka + mpp @ Kc)              # (n, r)
+        diag_im = 0.5 * (mpq @ Ke / hbar - hbar * (mqp @ Kb))
+        # product over modes in log space: magnitudes as a sum of logs
+        # (range-safe at any d), phases as a sum of angles
+        log_mag = 0.5 * jnp.sum(jnp.log(diag_re**2 + diag_im**2), axis=1)
+        ang = jnp.sum(jnp.arctan2(diag_im, diag_re), axis=1)
+        return complex_exp(log_mag, ang, params.cdtype)
     mat_re, mat_im = hk_prefactor_mat(params, state)
     return linalg.batched_det(jax.lax.complex(mat_re, mat_im))
 
@@ -553,8 +604,17 @@ class HermanKlukPropagator:
         log_sampling_statistics(sampling, qi, pi)
 
         self.ntraj = ntraj
+        # Separable potential (diagonal Hessians at every geometry) =>
+        # the monodromy stays exactly diagonal from the identity initial
+        # condition — store only the (n, d) diagonals (see TrajState).
+        diag_mono = False
+        if potential is not None:
+            from semiclassical_tpu.potentials.base import DiagHessian
+            _, _, hess0 = potential.local_expansion(qi[:1])
+            diag_mono = isinstance(hess0, DiagHessian)
         self.state = TrajState.initial(qi, pi, dtype=self.traj_dtype,
-                                       mono_dtype=self.dtype)
+                                       mono_dtype=self.dtype,
+                                       diag_monodromy=diag_mono)
         self._bc = self._make_batch_constants(self.state.q, self.state.p,
                                               prob, potential)
         self._bc_has_nacq = potential is not None
@@ -684,6 +744,7 @@ class HermanKlukPropagator:
         """Current monodromy blocks (Mqq, Mqp, Mpq, Mpp), each (n, d, d)
         with the trajectory axis leading (reference propagators.py:927-935
         returns (d, d, n) — the reference's trailing trajectory axis is this
-        framework's leading one everywhere)."""
-        s = self.state
-        return s.Mqq, s.Mqp, s.Mpq, s.Mpp
+        framework's leading one everywhere). The diagonal representation
+        is expanded to dense blocks here — this accessor is API surface,
+        not a hot path."""
+        return self.state.dense_monodromy()

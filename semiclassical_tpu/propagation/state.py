@@ -23,9 +23,18 @@ class TrajState:
     """Classical trajectories plus monodromy (stability) matrices and action.
 
     q, p : (n, d)          positions / momenta
-    Mqq, Mqp, Mpq, Mpp : (n, d, d)
-        monodromy blocks  M_ab = d a(t) / d b(0)
+    Mqq, Mqp, Mpq, Mpp : (n, d, d) — or (n, d) in the *diagonal
+        representation* — monodromy blocks  M_ab = d a(t) / d b(0)
     S : (n,)               classical action integral of (T - V)
+
+    Diagonal representation: for a separable potential the Hessian is
+    diagonal at every geometry, so the monodromy equations decouple per
+    mode — a monodromy that starts diagonal (the identity initial
+    condition) stays EXACTLY diagonal for all time. Storing only the
+    diagonals shrinks the state d-fold and removes the entire monodromy
+    bandwidth cost from the step; consumers detect the representation by
+    `Mqq.ndim == 2`. The reference always carries the dense (d, d) blocks
+    (propagators.py:321-376).
     """
 
     q: jnp.ndarray
@@ -36,15 +45,30 @@ class TrajState:
     Mpp: jnp.ndarray
     S: jnp.ndarray
 
+    @property
+    def diag_monodromy(self):
+        return self.Mqq.ndim == 2
+
+    def dense_monodromy(self):
+        """The four blocks as dense (n, d, d) arrays (expanding the
+        diagonal representation if active)."""
+        if not self.diag_monodromy:
+            return self.Mqq, self.Mqp, self.Mpq, self.Mpp
+        eye = jnp.eye(self.Mqq.shape[1], dtype=self.Mqq.dtype)[None]
+        return (self.Mqq[:, :, None] * eye, self.Mqp[:, :, None] * eye,
+                self.Mpq[:, :, None] * eye, self.Mpp[:, :, None] * eye)
+
     @staticmethod
-    def initial(q, p, dtype=None, mono_dtype=None):
+    def initial(q, p, dtype=None, mono_dtype=None, diag_monodromy=False):
         """Monodromy = identity, action = 0 (reference propagators.py:589-603).
 
         `dtype` sets the trajectory (q, p, S) precision, `mono_dtype` the
         monodromy-block precision (defaults to `dtype`). The mixed mode
         (f64 trajectories + f32 monodromy) keeps the chaotic classical
         dynamics at full precision while the heavy (n, d, d) matmul chain
-        runs on the MXU in f32.
+        runs on the MXU in f32. `diag_monodromy` selects the diagonal
+        representation (valid only for separable potentials — see the
+        class docstring).
         """
         if dtype is not None:
             q = q.astype(dtype)
@@ -52,8 +76,12 @@ class TrajState:
         if mono_dtype is None:
             mono_dtype = q.dtype
         n, d = q.shape
-        eye = jnp.broadcast_to(jnp.eye(d, dtype=mono_dtype), (n, d, d))
-        zeros = jnp.zeros((n, d, d), dtype=mono_dtype)
+        if diag_monodromy:
+            eye = jnp.ones((n, d), dtype=mono_dtype)
+            zeros = jnp.zeros((n, d), dtype=mono_dtype)
+        else:
+            eye = jnp.broadcast_to(jnp.eye(d, dtype=mono_dtype), (n, d, d))
+            zeros = jnp.zeros((n, d, d), dtype=mono_dtype)
         return TrajState(
             q=q, p=p,
             Mqq=eye, Mqp=zeros, Mpq=zeros, Mpp=eye,

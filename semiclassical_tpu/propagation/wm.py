@@ -259,6 +259,12 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
 # per-step derived quantities
 # ---------------------------------------------------------------------------
 
+
+def _mono_proj(M, U):
+    """M @ U for a dense (n, d, d) monodromy block, or the row-scale
+    diag(M) U for the (n, d) diagonal representation (see TrajState)."""
+    return M @ U if M.ndim == 3 else M[:, :, None] * U[None]
+
 def wm_derived(params: WMParams, bc: WMBatchConstants,
                state: TrajState) -> WMDerived:
     """All per-trajectory WM tensors for the current state (eqns. 50-84)."""
@@ -269,10 +275,10 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     p0 = hk.p0
 
     # project monodromy blocks once: (n, d, r) real matmuls
-    MqqU = state.Mqq @ U
-    MqpU = state.Mqp @ U
-    MpqU = state.Mpq @ U
-    MppU = state.Mpp @ U
+    MqqU = _mono_proj(state.Mqq, U)
+    MqpU = _mono_proj(state.Mqp, U)
+    MpqU = _mono_proj(state.Mpq, U)
+    MppU = _mono_proj(state.Mpp, U)
     MqzU = jnp.concatenate([MqqU, MqpU], axis=2)   # (n, d, 2r)
     MpzU = jnp.concatenate([MpqU, MppU], axis=2)   # (n, d, 2r)
 
@@ -396,12 +402,12 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
     r = params.rank
 
     # balanced projections: U1/U2 carry D and 1/sqrt(s)
-    X2 = state.Mqp.astype(rd) @ params.U2                  # (n, d, r)
+    X2 = _mono_proj(state.Mqp.astype(rd), params.U2)       # (n, d, r)
     XL = jnp.concatenate(
-        [state.Mqq.astype(rd) @ params.U1, X2], axis=2)    # (n, d, 2r)
+        [_mono_proj(state.Mqq.astype(rd), params.U1), X2], axis=2)
     ZL = jnp.concatenate(
-        [state.Mpq.astype(rd) @ params.U1,
-         state.Mpp.astype(rd) @ params.U2], axis=2)        # (n, d, 2r)
+        [_mono_proj(state.Mpq.astype(rd), params.U1),
+         _mono_proj(state.Mpp.astype(rd), params.U2)], axis=2)  # (n, d, 2r)
 
     Gt = params.Gt.astype(rd)
     W = jnp.einsum("ij,njb->nib", Gt, XL)                  # (n, d, 2r)
