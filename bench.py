@@ -46,7 +46,11 @@ def main():
     # recommended TPU configuration (no complex128 on TPU backends)
     dtype_name = os.environ.get("BENCH_DTYPE",
                                 "mixed" if on_tpu else "float64")
-    ntraj = int(os.environ.get("BENCH_NTRAJ", "32768"))
+    # 524,288 trajectories is the measured single-chip throughput optimum
+    # since the diagonal-monodromy representation removed every (n, d, d)
+    # buffer from the separable-potential step (ceiling now >= 1M)
+    ntraj = int(os.environ.get("BENCH_NTRAJ",
+                               "524288" if on_tpu else "2048"))
     nt = int(os.environ.get("BENCH_NT", "100"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
