@@ -321,6 +321,15 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         dtype, traj_dtype = jnp.float32, jnp.float32
     else:
         dtype, traj_dtype = jnp.float64, jnp.float64
+    # model potentials evaluate the PES at their parameter dtype: in the
+    # reduced-precision modes cast them to the algebra dtype so the
+    # per-stage transcendentals run natively on TPU (~1e-7 relative PES
+    # noise, far below the mixed-mode 1e-4 gate — tests/test_precision.py);
+    # molecular/GDML potentials manage their own precision (hess_dtype)
+    from semiclassical_tpu.potentials import (MorsePotential,
+                                              NonHarmonicPotential)
+    if isinstance(potential, (MorsePotential, NonHarmonicPotential)):
+        potential = jax.tree.map(lambda x: x.astype(dtype), potential)
 
     calc_norm_every = task.get("calc_norm_every", 0)
     assert not (ckpt_file and calc_norm_every > 0), (

@@ -50,7 +50,13 @@ class NonHarmonicPotential:
         return jnp.ones_like(self.eps)
 
     def local_expansion(self, q):
-        """(V (n,), grad (n, d), DiagHessian (n, d)) at positions q (n, d)."""
+        """(V (n,), grad (n, d), DiagHessian (n, d)) at positions q (n, d).
+
+        Computed at the parameter dtype (`create(dtype=...)`): with f32
+        parameters and f64 trajectories the PES transcendentals run at f32
+        (native on TPU) while the integration state stays f64 — the PES
+        noise (~1e-7 relative) sits far below the mixed-mode gate."""
+        q = q.astype(self.eps.dtype)
         eps, b = self.eps[None, :], self.b[None, :]
         ex = jnp.exp(-b * q)
         v = jnp.sum(eps / (2 * b**2) * (1.0 - ex) ** 2 + (1 - eps) * 0.5 * q**2,
@@ -113,6 +119,10 @@ class MorsePotential:
         return jnp.ones_like(self.omega)
 
     def local_expansion(self, q):
+        """Computed at the parameter dtype — see NonHarmonicPotential:
+        f32 parameters give an f32 (TPU-native) PES evaluation under f64
+        trajectories."""
+        q = q.astype(self.omega.dtype)
         if self.harmonic:
             om2 = (self.omega**2)[None, :]
             v = jnp.sum(0.5 * om2 * q**2, axis=1)

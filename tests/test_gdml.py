@@ -114,6 +114,37 @@ def test_against_torch_reference(model_and_coords):
     assert np.linalg.norm(hess_ref - np.asarray(hess)) / n < 1e-5
 
 
+@pytest.mark.slow
+def test_batch_size_sweep_vs_torch_reference(model_and_coords):
+    """Differential energy/gradient sweep over batch sizes 1 -> 1000 against
+    the reference torch implementation (reference
+    tests/test_gdml_predictor.py:51-88 sweeps 1 -> 10000 on GPU; this box is
+    one CPU core, so the sweep stops at 1000 — the larger sizes are timed on
+    real TPU hardware by scripts/gdml_bench.py). Gate: per-sample L2 error
+    < 1e-6, the reference's own threshold."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from semiclassical.gdml_predictor import GDMLPredict
+    except Exception as exc:
+        pytest.skip(f"reference torch implementation not importable: {exc}")
+    finally:
+        sys.path.pop(0)
+
+    params, r, model = model_and_coords
+    torch.set_default_dtype(torch.float64)
+    ref = GDMLPredict(model)
+
+    rng = np.random.default_rng(7)
+    for batch_size in (1, 10, 100, 1000):
+        batch = np.asarray(r) + 0.1 * rng.random((batch_size, r.shape[1]))
+        en_ref, grad_ref, _ = (
+            t.detach().numpy() for t in ref.forward(torch.from_numpy(batch)))
+        en, grad = gdml_forward(params, jnp.asarray(batch), order=1)
+        assert np.linalg.norm(en_ref - np.asarray(en)) / batch_size < 1e-6
+        assert np.linalg.norm(grad_ref - np.asarray(grad)) / batch_size < 1e-6
+
+
 def test_gdml_mixed_hessian(model_and_coords):
     """The TPU mixed mode: f64 energies/gradients (absolute energies are
     O(1e2) Ha and feed the action phase — pure f32 loses ~1 Ha to
