@@ -42,10 +42,13 @@ def main():
     # determinants are complex) -> default to float32/complex64 on TPU,
     # float64 elsewhere; override with BENCH_DTYPE.
     on_tpu = jax.devices()[0].platform != "cpu"
-    # "mixed" = f64 trajectories + f32 monodromy/complex algebra — the
-    # recommended TPU configuration (no complex128 on TPU backends)
+    # "comp32" = compensated-f32 trajectories (Neumaier residuals) — the
+    # production TPU mode for HK on model potentials: tracks the mixed
+    # mode (f64 trajectories) to 5e-7 over the full 2000-step horizon at
+    # ~2x the speed (tests/test_comp32.py, BASELINE.md). "mixed" remains
+    # available via BENCH_DTYPE for the f64-trajectory ablation.
     dtype_name = os.environ.get("BENCH_DTYPE",
-                                "mixed" if on_tpu else "float64")
+                                "comp32" if on_tpu else "float64")
     # 524,288 trajectories is the measured single-chip throughput optimum
     # since the diagonal-monodromy representation removed every (n, d, d)
     # buffer from the separable-potential step (ceiling now >= 1M)
@@ -59,6 +62,9 @@ def main():
     if dtype_name == "mixed":
         prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
                                 traj_dtype=jnp.float64)
+    elif dtype_name == "comp32":
+        prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                traj_dtype="comp32")
     else:
         dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
         prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)

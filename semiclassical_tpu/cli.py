@@ -55,11 +55,13 @@ def main(argv=None):
         help="number of devices for the trajectory mesh "
              "(default 0 = all available)")
     parser_dynamics.add_argument(
-        "--precision", choices=["f64", "mixed", "f32"], default=None,
+        "--precision", choices=["f64", "mixed", "comp32", "f32"],
+        default=None,
         help="numerical mode: f64 (full double, CPU default), mixed "
              "(f64 trajectories + f32 monodromy/complex algebra, TPU "
-             "default — complex128 is unsupported on TPU), f32 (fastest, "
-             "reduced accuracy)")
+             "default — complex128 is unsupported on TPU), comp32 "
+             "(compensated-f32 trajectories, HK only: near-mixed accuracy "
+             "at native-f32 speed), f32 (fastest, reduced accuracy)")
 
     parser_rates = subparsers.add_parser(
         "rates",
@@ -313,10 +315,23 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     rep_keys = jax.random.split(root_key, num_repetitions)
 
     if precision is None:
-        precision = "f64" if jax.default_backend() == "cpu" else "mixed"
+        if jax.default_backend() == "cpu":
+            precision = "f64"
+        elif (propagator_name == "HK"
+              and task["potential"]["type"] == "anharmonic AS"):
+            # HK on separable model potentials: compensated-f32
+            # trajectories track the mixed mode to 5e-7 over 2000 steps
+            # at ~2x the speed (tests/test_comp32.py, BASELINE.md)
+            precision = "comp32"
+        else:
+            precision = "mixed"
     logger.info(f"  numerical precision                       : {precision}")
     if precision == "mixed":
         dtype, traj_dtype = jnp.float32, jnp.float64
+    elif precision == "comp32":
+        # compensated-f32 trajectories (HK only): f64-quality accumulation
+        # at native-f32 speed — see propagation/state.py
+        dtype, traj_dtype = jnp.float32, "comp32"
     elif precision == "f32":
         dtype, traj_dtype = jnp.float32, jnp.float32
     else:

@@ -133,6 +133,14 @@ def overlap_exponent_vector(ov: OverlapParams, qi, pi, qj, pj):
     return _overlap_exponent(ov, dq, dp, pj_b)
 
 
+def overlap_exponent_displaced(ov: OverlapParams, dq, dp, pj):
+    """(re, im) exponent parts from precomputed displacements
+    dq = qj - qi, dp = pj - pi (shape (n, d)) and ket momenta pj — for
+    callers that form the displacements themselves (e.g. the comp32 mode,
+    which folds compensation residuals into them)."""
+    return _overlap_exponent(ov, dq, dp, pj)
+
+
 def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
     """<qi(n),pi(n),Gi|qj,pj,Gj> for a batch of bra states and one ket.
 

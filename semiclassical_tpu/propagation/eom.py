@@ -35,6 +35,24 @@ from semiclassical_tpu.propagation.state import TrajState
 __all__ = ["state_derivative", "rk4_step"]
 
 
+def _comp_accumulate(x, c, inc):
+    """One Neumaier-compensated accumulation step: returns (x', c') with
+    x' + c' = x + c + inc to ~f64 accuracy using only f32 arithmetic.
+
+    `c` carries the running residual (true value = x + c). The incoming
+    residual is folded into the increment (|inc + c| stays far below |x|
+    for integrator-sized increments), then a branch-free exact two-sum
+    (Knuth) splits x + y into the rounded sum and its exact error. XLA
+    preserves IEEE float semantics under jit, so the cancellation pattern
+    is not optimized away."""
+    y = inc + c
+    t = x + y
+    yv = t - x            # the part of y that made it into t
+    xv = t - yv           # the part of x that made it into t
+    r = (x - xv) + (y - yv)
+    return t, r
+
+
 def state_derivative(state: TrajState, potential):
     """dy/dt for the combined (q, p, M, S) system.
 
@@ -47,6 +65,9 @@ def state_derivative(state: TrajState, potential):
     (reference propagators.py:342-368)
 
     Returns (dstate, mean_energy) where mean_energy = <T + V> over the batch.
+    The derivative has no compensation residuals (qc/pc = None) — comp32
+    integration is handled inside `rk4_step`, not by tree arithmetic on
+    derivatives.
     """
     inv_m = 1.0 / potential.masses()                     # (d,)
     vpot, grad, hess = potential.local_expansion(state.q)
@@ -87,12 +108,18 @@ def rk4_step(state: TrajState, potential, dt):
     tdt = jnp.asarray(dt).astype(q.dtype)
     half = 0.5 * tdt
 
+    # stage arithmetic runs at the trajectory dtype: keep the constant
+    # 1/m at that dtype so f32 states (comp32) don't silently promote the
+    # (n, d) stage products onto the emulated-f64 path
+    inv_m_t = inv_m.astype(q.dtype)
+
     def traj_stage(qs, ps):
         vpot, grad, hess = potential.local_expansion(qs)
-        tkin = 0.5 * jnp.sum(ps**2 * inv_m[None, :], axis=1)
-        return ((ps * inv_m[None, :]).astype(q.dtype),
+        tkin = 0.5 * jnp.sum(ps**2 * inv_m_t[None, :], axis=1)
+        return ((ps * inv_m_t[None, :]).astype(q.dtype),
                 -grad.astype(p.dtype),
-                (tkin - vpot).astype(S.dtype)), hess, tkin + vpot
+                (tkin - vpot.astype(tkin.dtype)).astype(S.dtype)), \
+            hess, tkin + vpot.astype(tkin.dtype)
 
     # --- trajectory block (q, p, S): 4 PES evaluations, Hessians kept ---
     k1, H1, e1 = traj_stage(q, p)
@@ -100,9 +127,21 @@ def rk4_step(state: TrajState, potential, dt):
     k3, H3, _ = traj_stage(q + half * k2[0], p + half * k2[1])
     k4, H4, _ = traj_stage(q + tdt * k3[0], p + tdt * k3[1])
     sixth = tdt / 6.0
-    new_q = q + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-    new_p = p + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-    new_S = S + sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+    if state.compensated:
+        # comp32: the f32 increment is folded into the state by an exact
+        # two-sum, so the accumulation rounding (the eps*|q| term that
+        # dominates plain f32) vanishes; only the eps*|increment| stage
+        # rounding remains (see _comp_accumulate)
+        new_q, new_qc = _comp_accumulate(
+            q, state.qc, sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]))
+        new_p, new_pc = _comp_accumulate(
+            p, state.pc, sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]))
+    else:
+        new_q = q + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+        new_p = p + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+        new_qc = new_pc = None
+    new_S = S + (sixth * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+                 ).astype(S.dtype)
     mean_energy = jnp.mean(e1)
 
     # --- monodromy pairs, sharing the stage Hessians ---
@@ -153,7 +192,7 @@ def rk4_step(state: TrajState, potential, dt):
         raa, rba = row_map(one, zero)
         rab, rbb = row_map(zero, one)
         new_state = TrajState(
-            q=new_q, p=new_p, S=new_S,
+            q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
             Mqq=raa * state.Mqq + rab * state.Mpq,
             Mpq=rba * state.Mqq + rbb * state.Mpq,
             Mqp=raa * state.Mqp + rab * state.Mpp,
@@ -189,6 +228,6 @@ def rk4_step(state: TrajState, potential, dt):
     Mqq, Mpq = pair(state.Mqq, state.Mpq)
     Mqp, Mpp = pair(state.Mqp, state.Mpp)
 
-    new_state = TrajState(q=new_q, p=new_p, S=new_S,
+    new_state = TrajState(q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
                           Mqq=Mqq, Mqp=Mqp, Mpq=Mpq, Mpp=Mpp)
     return new_state, mean_energy

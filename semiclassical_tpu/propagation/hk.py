@@ -36,6 +36,7 @@ from semiclassical_tpu.coherent import (
     OverlapParams,
     WavefunctionParams,
     complex_exp,
+    overlap_exponent_displaced,
     overlap_exponent_vector,
     overlap_matrix,
     overlap_vector,
@@ -109,6 +110,12 @@ class HKParams:
                         # permutation in U) — the assembled prefactor matrix
                         # is then diagonal for any diagonal monodromy, and
                         # the determinant is a per-mode product
+    # comp32 mode: q0/p0 are stored f32 and these (d,) f32 residuals carry
+    # the rest of their f64 values (true q0 = q0 + q0c) so the observable
+    # displacements q0 - q(t) keep f64-difference quality against the
+    # compensated trajectory state. None in the plain modes.
+    q0c: jnp.ndarray | None = None
+    p0c: jnp.ndarray | None = None
 
     @property
     def cdtype(self):
@@ -164,6 +171,11 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
     (measured: the f64 exponent path was ~24 ms of a 75 ms step at
     n = 32768, d = 60; the mixed-vs-f64 gate in tests/test_precision.py
     holds at 1e-4)."""
+    compensated = isinstance(traj_dtype, str) and traj_dtype == "comp32"
+    if compensated:
+        # constants entering differences with the compensated state are
+        # stored f32 + f32 residual (true value = x + xc)
+        traj_dtype = jnp.float32
     if traj_dtype is None:
         traj_dtype = dtype
     cdtype = complex_dtype(dtype)
@@ -200,6 +212,10 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
         factors_diag=factors_diag,
         q0=jnp.asarray(q0, dtype=traj_dtype),
         p0=jnp.asarray(p0, dtype=traj_dtype),
+        q0c=(jnp.asarray(q0 - np.float32(q0).astype(np.float64),
+                         dtype=jnp.float32) if compensated else None),
+        p0c=(jnp.asarray(p0 - np.float32(p0).astype(np.float64),
+                         dtype=jnp.float32) if compensated else None),
         G0=jnp.asarray(Gamma_0, dtype=traj_dtype),
         iGi0=jnp.asarray(iGi0, dtype=traj_dtype),
         R=jnp.asarray(R, dtype=traj_dtype),
@@ -308,12 +324,13 @@ def hk_prefactor_det(params: HKParams, state: TrajState):
     return linalg.batched_det(jax.lax.complex(mat_re, mat_im))
 
 
-def _nac_factor(params: HKParams, potential, x, pvec, sign):
+def _nac_factor(params: HKParams, potential, x, pvec, sign, xc=None):
     """The NAC factor entering k~ic (reference propagators.py:888-903).
 
     nac = n2 + (q0 - x)^T R n1 + sign * i/hbar pvec . n1
     with n1 = -hbar^2 tau1/m, n2 = -hbar^2/2 sum_k tau2_k/m_k.
     sign = +1 at the initial point (q), -1 at the current point (Q).
+    `xc` is the comp32 residual of x (true x = x + xc), if any.
     """
     # the difference q0 - x runs at trajectory precision; the contractions
     # at the observable precision (see _build_hk_params)
@@ -324,21 +341,28 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign):
     n1 = (-(hbar**2) * tau1 * inv_m[None, :]).astype(t)     # (n, d)
     n2 = (-(hbar**2) * 0.5
           * jnp.sum(tau2 * inv_m[None, :], axis=1)).astype(t)  # (n,)
-    dq = (params.q0[None, :] - x.astype(params.q0.dtype)).astype(t)
+    dq = params.q0[None, :] - x.astype(params.q0.dtype)
+    if xc is not None and params.q0c is not None:
+        dq = dq + (params.q0c - xc)
+    dq = dq.astype(t)
     core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R.astype(t), n1)
     core = core.astype(real_dtype(pvec.dtype))
     return core + (sign / hbar) * times_i(
         jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
 
 
-def _shifted_momentum(params: HKParams, p):
+def _shifted_momentum(params: HKParams, p, pc=None):
     """p0 + Gamma_0 [Gi+G0]^{-1} (p - p0)  (reference propagators.py:894-895).
 
     The difference p - p0 runs at trajectory precision, the (d, d)
-    contraction at the observable precision."""
+    contraction at the observable precision. `pc` is the comp32 residual
+    of p (true p = p + pc), if any."""
     t = params.Lt_s_re.dtype
     p = p.astype(params.p0.dtype)
-    dp = (p - params.p0[None, :]).astype(t)
+    dp = p - params.p0[None, :]
+    if pc is not None and params.p0c is not None:
+        dp = dp + (pc - params.p0c)
+    dp = dp.astype(t)
     shift = (params.G0 @ params.iGi0).T.astype(t)
     return params.p0[None, :].astype(t) + dp @ shift
 
@@ -356,12 +380,18 @@ def hk_batch_constants(params: HKParams, qi, pi, log_prob,
     log_scale = jnp.mean(logw)
     logw_norm = (logw - log_scale).astype(qi.dtype)
     weight = jnp.exp(logw_norm).astype(params.Lt_s_re.dtype)
-    vi = overlap_vector(params.csoi0, qi, pi, params.q0, params.p0)
+    # comp32 stores the center split as f32 + residual; these one-time
+    # constants are built against the full-precision (f64) center
+    if params.q0c is not None:
+        q0 = params.q0.astype(qi.dtype) + params.q0c.astype(qi.dtype)
+        p0 = params.p0.astype(pi.dtype) + params.p0c.astype(pi.dtype)
+    else:
+        q0, p0 = params.q0, params.p0
+    vi = overlap_vector(params.csoi0, qi, pi, q0, p0)
     # exponent parts of the *weighted* initial overlap: for trajectories far
     # in the tail, vi underflows the complex dtype while weight * vi is
     # O(1/n) — the product must live as a single fused exponent
-    re_i, im_i = overlap_exponent_vector(params.csoi0, qi, pi,
-                                         params.q0, params.p0)
+    re_i, im_i = overlap_exponent_vector(params.csoi0, qi, pi, q0, p0)
     obs_re = re_i + logw_norm
     if potential is None:
         nacq = jnp.zeros(n, dtype=vi.dtype)
@@ -387,8 +417,17 @@ def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
     and the action phase are combined into one exponent at trajectory
     precision before exponentiating, so tail trajectories whose raw overlap
     underflows the complex dtype still contribute exactly."""
-    re_t, im_t = overlap_exponent_vector(params.csot0, state.q, state.p,
-                                         params.q0, params.p0)
+    if state.compensated:
+        # comp32: fold the trajectory/center residuals into the
+        # displacements — (q0 + q0c) - (q + qc) at f32-op cost, keeping
+        # the f64-difference quality of the mixed mode
+        dq = (params.q0[None, :] - state.q) + (params.q0c - state.qc)
+        dp = (params.p0[None, :] - state.p) + (params.p0c - state.pc)
+        pj = jnp.broadcast_to(params.p0[None, :], state.q.shape)
+        re_t, im_t = overlap_exponent_displaced(params.csot0, dq, dp, pj)
+    else:
+        re_t, im_t = overlap_exponent_vector(params.csot0, state.q, state.p,
+                                             params.q0, params.p0)
     total_re = re_t + bc.obs_re
     total_im = (bc.obs_im - im_t) + state.S.astype(re_t.dtype) / hbar
     fac = jnp.conj(params.csot0.fac) * params.csoi0.fac
@@ -404,9 +443,9 @@ def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
     cauto_qp = hk_autocorr_qp(params, bc, state, c_signed)
     cauto = jnp.sum(cauto_qp)
 
-    PI = _shifted_momentum(params, state.p)
+    PI = _shifted_momentum(params, state.p, pc=state.pc)
     nacQ = _nac_factor(params, potential, state.q, PI.astype(c_signed.dtype),
-                       -1.0)
+                       -1.0, xc=state.qc)
     kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
     kic = jnp.sum(kic_qp)
     return cauto, kic
@@ -525,6 +564,23 @@ class HermanKlukPropagator:
         self.Gamma_t = Gamma_t
         self.dtype = dtype
         self.traj_dtype = dtype if traj_dtype is None else traj_dtype
+        # comp32: compensated-f32 trajectories (see TrajState) — sampling
+        # and scalars run f64, the state is f32 + f32 residuals
+        self.compensated = (isinstance(self.traj_dtype, str)
+                            and self.traj_dtype == "comp32")
+        if self.compensated and jnp.dtype(dtype) != jnp.float32:
+            raise ValueError("comp32 trajectories require dtype=float32")
+
+    @property
+    def _scalar_dtype(self):
+        """dtype of host-side time scalars entering jit."""
+        return jnp.float64 if self.compensated else self.traj_dtype
+
+    @property
+    def _sample_dtype(self):
+        """dtype of the initial-condition sampling (full precision in
+        comp32 — the state split captures it)."""
+        return jnp.float64 if self.compensated else self.traj_dtype
 
     # -- hooks shared with the WM subclass -----------------------------------
 
@@ -541,8 +597,8 @@ class HermanKlukPropagator:
         return _hk_scan_jit(
             self.params, self._bc, potential, self.state,
             self.trackers["prefactorC"],
-            jnp.asarray(self.t, dtype=self.traj_dtype),
-            jnp.asarray(dt, dtype=self.traj_dtype), nt,
+            jnp.asarray(self.t, dtype=self._scalar_dtype),
+            jnp.asarray(dt, dtype=self._scalar_dtype), nt,
         )
 
     def _store_scan_carry(self, carry):
@@ -579,7 +635,7 @@ class HermanKlukPropagator:
         Gamma_0 = np.asarray(Gamma_0, dtype=np.float64)
 
         sampling = SamplingParams.create(q0, p0, Gamma_0, self.Gamma_i,
-                                         dtype=self.traj_dtype)
+                                         dtype=self._sample_dtype)
         self.sampling = sampling
         self.params = self._make_params(
             Gamma_0, q0, p0, np.asarray(sampling.U), np.asarray(sampling.iGi0)
@@ -612,11 +668,18 @@ class HermanKlukPropagator:
             from semiclassical_tpu.potentials.base import DiagHessian
             _, _, hess0 = potential.local_expansion(qi[:1])
             diag_mono = isinstance(hess0, DiagHessian)
-        self.state = TrajState.initial(qi, pi, dtype=self.traj_dtype,
-                                       mono_dtype=self.dtype,
-                                       diag_monodromy=diag_mono)
-        self._bc = self._make_batch_constants(self.state.q, self.state.p,
-                                              prob, potential)
+        self.state = TrajState.initial(
+            qi, pi,
+            dtype=None if self.compensated else self.traj_dtype,
+            mono_dtype=self.dtype, diag_monodromy=diag_mono,
+            compensated=self.compensated)
+        # batch constants are one-time: build them from the full-precision
+        # samples (identical to state.q/p except in comp32, where the state
+        # carries them as f32 + residual)
+        self._bc = self._make_batch_constants(
+            (qi if self.compensated else self.state.q),
+            (pi if self.compensated else self.state.p),
+            prob, potential)
         self._bc_has_nacq = potential is not None
         self.trackers = self._make_trackers(self.state)
         self.t = 0.0

@@ -44,10 +44,20 @@ class TrajState:
     Mpq: jnp.ndarray
     Mpp: jnp.ndarray
     S: jnp.ndarray
+    # compensated-f32 mode ("comp32"): q/p are f32 and qc/pc carry the
+    # Neumaier accumulation residuals (true value = q + qc), giving
+    # f64-quality trajectory accumulation with native-f32 arithmetic on
+    # devices whose f64 is software-emulated (TPU). None in the plain modes.
+    qc: jnp.ndarray | None = None
+    pc: jnp.ndarray | None = None
 
     @property
     def diag_monodromy(self):
         return self.Mqq.ndim == 2
+
+    @property
+    def compensated(self):
+        return self.qc is not None
 
     def dense_monodromy(self):
         """The four blocks as dense (n, d, d) arrays (expanding the
@@ -59,7 +69,8 @@ class TrajState:
                 self.Mpq[:, :, None] * eye, self.Mpp[:, :, None] * eye)
 
     @staticmethod
-    def initial(q, p, dtype=None, mono_dtype=None, diag_monodromy=False):
+    def initial(q, p, dtype=None, mono_dtype=None, diag_monodromy=False,
+                compensated=False):
         """Monodromy = identity, action = 0 (reference propagators.py:589-603).
 
         `dtype` sets the trajectory (q, p, S) precision, `mono_dtype` the
@@ -68,11 +79,25 @@ class TrajState:
         dynamics at full precision while the heavy (n, d, d) matmul chain
         runs on the MXU in f32. `diag_monodromy` selects the diagonal
         representation (valid only for separable potentials — see the
-        class docstring).
+        class docstring). `compensated` selects the comp32 mode: q/p are
+        split into f32 value + f32 residual (ignoring `dtype`), and the
+        action S stays f64 — give q/p at f64 so the split captures the
+        full-precision sample.
         """
-        if dtype is not None:
-            q = q.astype(dtype)
-            p = p.astype(dtype)
+        if compensated:
+            q64 = q.astype(jnp.float64)
+            p64 = p.astype(jnp.float64)
+            q = q64.astype(jnp.float32)
+            p = p64.astype(jnp.float32)
+            qc = (q64 - q.astype(jnp.float64)).astype(jnp.float32)
+            pc = (p64 - p.astype(jnp.float64)).astype(jnp.float32)
+            S = jnp.zeros((q.shape[0],), dtype=jnp.float64)
+        else:
+            if dtype is not None:
+                q = q.astype(dtype)
+                p = p.astype(dtype)
+            qc = pc = None
+            S = jnp.zeros((q.shape[0],), dtype=q.dtype)
         if mono_dtype is None:
             mono_dtype = q.dtype
         n, d = q.shape
@@ -85,7 +110,7 @@ class TrajState:
         return TrajState(
             q=q, p=p,
             Mqq=eye, Mqp=zeros, Mpq=zeros, Mpp=eye,
-            S=jnp.zeros((n,), dtype=q.dtype),
+            S=S, qc=qc, pc=pc,
         )
 
 

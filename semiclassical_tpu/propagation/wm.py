@@ -841,6 +841,11 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
     def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64,
                  traj_dtype=None):
         super().__init__(Gamma_i, Gamma_t, dtype=dtype, traj_dtype=traj_dtype)
+        if self.compensated:
+            raise NotImplementedError(
+                "comp32 trajectories are HK-only: the WM observable chain "
+                "does not fold compensation residuals into its projections "
+                "(use the mixed mode, dtype=float32 traj_dtype=float64)")
         self.alpha = float(alpha)
         self.beta = float(beta)
 
