@@ -49,11 +49,10 @@ def main():
     # available via BENCH_DTYPE for the f64-trajectory ablation.
     dtype_name = os.environ.get("BENCH_DTYPE",
                                 "comp32" if on_tpu else "float64")
-    # 524,288 trajectories is the measured single-chip throughput optimum
-    # since the diagonal-monodromy representation removed every (n, d, d)
-    # buffer from the separable-potential step (ceiling now >= 1M)
+    # 1,048,576 trajectories is the measured single-chip throughput optimum
+    # in the comp32 mode (all-f32 state; 2M exceeds the 16G HBM by 9G)
     ntraj = int(os.environ.get("BENCH_NTRAJ",
-                               "524288" if on_tpu else "2048"))
+                               "1048576" if on_tpu else "2048"))
     nt = int(os.environ.get("BENCH_NT", "100"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

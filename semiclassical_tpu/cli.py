@@ -350,6 +350,17 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     assert not (ckpt_file and calc_norm_every > 0), (
         "'checkpoint' and 'calc_norm_every' cannot be combined")
 
+    # scan segmentation: each chunk is one uninterrupted XLA execution
+    # (remote-TPU watchdogs kill runs past ~60 s). The separable HK path
+    # is ~2e-5 ms/traj-step, so 500-step chunks stay around a second even
+    # at the 1M-trajectory batch ceiling and the per-chunk host round-trip
+    # stops dominating the wall time (98k x 2000 steps: 90 s at chunk=100
+    # -> 15.6 s at chunk=500); the dense/molecular and WM paths keep 100.
+    default_chunk = (500 if (propagator_name == "HK"
+                             and task["potential"]["type"] == "anharmonic AS")
+                     else 100)
+    scan_chunk = task.get("scan_chunk", default_chunk)
+
     for repetition in range(num_repetitions):
         if resume_rep is not None and repetition < resume_rep:
             continue
@@ -398,13 +409,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                 run = CheckpointedRun(
                     ckpt_file, propagator, potential, dt=dt, nt=nt,
                     energy0_es=en_zpt, segment=ckpt_every,
-                    chunk=task.get("scan_chunk", 100),
+                    chunk=scan_chunk,
                     repetition=repetition, progress=_progress)
                 cauto, kic = run.run()
             else:
                 cauto, kic = propagator.propagate(
                     potential, dt, nt, energy0_es=en_zpt,
-                    chunk=task.get("scan_chunk", 100), progress=_progress)
+                    chunk=scan_chunk, progress=_progress)
 
             if np.isnan(cauto).any() or np.isnan(kic).any():
                 raise RuntimeError("encountered NaN's in correlations")
