@@ -163,6 +163,34 @@ def _as12_mesh(mesh, ntraj=1024):
     return prop, pot
 
 
+def test_comp32_dense_monodromy_path():
+    """comp32 with the *dense* (n, d, d) monodromy representation (the
+    molecular/GDML path). Forced here by withholding the potential from
+    initial_conditions (no DiagHessian detection); validated on the real
+    rank-deficient methylium example on TPU to max|dC| = 2e-7 over 400
+    steps vs the mixed twin (BASELINE.md)."""
+    def run(traj_dtype):
+        rng = np.random.default_rng(0)
+        d = 6
+        omega = rng.uniform(300.0, 2500.0, size=d) / 219474.63
+        pot = MorsePotential.create(omega, np.full(d, 0.02),
+                                    rng.uniform(-1, 1, size=d),
+                                    dtype=jnp.float32)
+        Gamma = np.diag(omega)
+        q0 = np.sqrt(2 * rng.uniform(0.02, 0.3, size=d) / omega)
+        prop = HermanKlukPropagator(Gamma, Gamma, dtype=jnp.float32,
+                                    traj_dtype=traj_dtype)
+        # no potential => dense monodromy even for a separable PES
+        prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=1024, key=5)
+        assert not prop.state.diag_monodromy
+        return prop.propagate(pot, 2.0, 60, check_energy=False)
+
+    cm, km = run(jnp.float64)
+    cc, kc = run("comp32")
+    assert np.abs(cc - cm).max() / np.abs(cm).max() < 5e-4
+    assert np.abs(kc - km).max() / max(np.abs(km).max(), 1e-30) < 5e-4
+
+
 def test_comp32_wm_unsupported():
     with pytest.raises(NotImplementedError):
         WaltonManolopoulosPropagator(np.eye(2), np.eye(2), 100.0, 100.0,
