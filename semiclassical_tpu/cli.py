@@ -340,11 +340,18 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     # reduced-precision modes cast them to the algebra dtype so the
     # per-stage transcendentals run natively on TPU (~1e-7 relative PES
     # noise, far below the mixed-mode 1e-4 gate — tests/test_precision.py);
-    # molecular/GDML potentials manage their own precision (hess_dtype)
-    from semiclassical_tpu.potentials import (MorsePotential,
+    # GDML potentials manage their own precision (hess_dtype)
+    from semiclassical_tpu.potentials import (MolecularHarmonicPotential,
+                                              MorsePotential,
                                               NonHarmonicPotential)
+    from semiclassical_tpu.pytree import replace as _pt_replace
     if isinstance(potential, (MorsePotential, NonHarmonicPotential)):
         potential = jax.tree.map(lambda x: x.astype(dtype), potential)
+    elif (isinstance(potential, MolecularHarmonicPotential)
+          and jnp.dtype(dtype) == jnp.float32):
+        # harmonic molecular PES: displacements keep the trajectory
+        # precision, the (n, d) @ (d, d) contractions run at f32 on the MXU
+        potential = _pt_replace(potential, contract_dtype="float32")
 
     calc_norm_every = task.get("calc_norm_every", 0)
     assert not (ckpt_file and calc_norm_every > 0), (

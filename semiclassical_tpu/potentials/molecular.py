@@ -30,7 +30,7 @@ logger = logging.getLogger(__name__)
 __all__ = ["MolecularHarmonicPotential", "MolecularGDMLPotential", "minimize"]
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("contract_dtype",))
 class MolecularHarmonicPotential:
     """Harmonic expansion around a reference geometry (usually the minimum):
 
@@ -39,6 +39,13 @@ class MolecularHarmonicPotential:
     Built from a frequency checkpoint (geometry, gradient, cartesian force
     constants) and a checkpoint carrying the NAC vector
     (reference potentials.py:529-638).
+
+    `contract_dtype` (e.g. "float32") evaluates the PES *contractions* at a
+    reduced precision while the displacement r' - r0 keeps the trajectory
+    precision — the TPU mixed mode for this PES. The (n, d) @ (d, d) Hessian
+    product then runs on the MXU instead of XLA's emulated-f64 path; the
+    scalar energy bookkeeping (energy0 - origin, absolute ~1e2 Ha) stays at
+    the parameter dtype so the action phase keeps its accuracy.
     """
 
     pos0: jnp.ndarray     # (d,)
@@ -48,6 +55,7 @@ class MolecularHarmonicPotential:
     nac0: jnp.ndarray     # (d,)
     mass: jnp.ndarray     # (d,)
     origin: jnp.ndarray   # () energy origin set by `minimize`
+    contract_dtype: str = ""
 
     @staticmethod
     def from_fchk(freq_fchk, nac_fchk, dtype=jnp.float64):
@@ -76,13 +84,18 @@ class MolecularHarmonicPotential:
         return self.origin
 
     def local_expansion(self, q):
-        dr = q - self.pos0[None, :]                       # (n, d)
-        hdr = dr @ self.hess0.T                           # (n, d)
-        v = (self.energy0
-             + dr @ self.grad0
-             + 0.5 * jnp.sum(dr * hdr, axis=1))
-        grad = self.grad0[None, :] + hdr
-        return v - self.origin, grad, ConstHessian(mat=self.hess0)
+        # the displacement is a difference of large nearby Cartesians: take
+        # it at the trajectory precision (pos0 cast to q's dtype so an f32
+        # trajectory state does not silently promote the subtraction)
+        dr = q - self.pos0[None, :].astype(q.dtype)       # (n, d)
+        t = jnp.dtype(self.contract_dtype) if self.contract_dtype else dr.dtype
+        drt = dr.astype(t)
+        hdr = drt @ self.hess0.T.astype(t)                # (n, d), MXU at t
+        expans = (drt @ self.grad0.astype(t)
+                  + 0.5 * jnp.sum(drt * hdr, axis=1))
+        v = (self.energy0 - self.origin) + expans.astype(q.dtype)
+        grad = self.grad0[None, :].astype(q.dtype) + hdr.astype(q.dtype)
+        return v, grad, ConstHessian(mat=self.hess0.astype(t))
 
     def derivative_coupling_1st(self, q):
         return jnp.broadcast_to(self.nac0[None, :], q.shape)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from semiclassical_tpu.potentials.base import DiagHessian
+from semiclassical_tpu.potentials.base import ConstHessian, DiagHessian
 from semiclassical_tpu.propagation.state import TrajState
 
 __all__ = ["state_derivative", "rk4_step"]
@@ -197,6 +197,40 @@ def rk4_step(state: TrajState, potential, dt):
             Mpq=rba * state.Mqq + rbb * state.Mpq,
             Mqp=raa * state.Mqp + rab * state.Mpp,
             Mpp=rba * state.Mqp + rbb * state.Mpp,
+        )
+        return new_state, mean_energy
+
+    if all(isinstance(H, ConstHessian) for H in (H1, H2, H3, H4)):
+        # Constant-Hessian monodromy (harmonic molecular PES): the stage
+        # recurrence is a linear map with constant coefficients, so one RK4
+        # step is EXACTLY the degree-4 truncated exponential
+        #     T = I + h L + h^2/2 L^2 + h^3/6 L^3 + h^4/24 L^4,
+        #     L = [[0, diag(1/m)], [-H, 0]]  (2d, 2d)
+        # applied to the stacked blocks — the same polynomial the 4-stage
+        # chain evaluates (matches to 2e-16 at f64), at a fraction of the
+        # HBM traffic: 8 thin constant-left matmuls replace the 4-stage
+        # chain's dozens of (n, d, d) buffer passes (methylium at 32k:
+        # 14.09 -> 12.84 ms/step, and the step is then dominated by the
+        # PES contractions — see MolecularHarmonicPotential.contract_dtype).
+        d = state.q.shape[1]
+        Hm = H1.mat.astype(mdt)
+        L = jnp.zeros((2 * d, 2 * d), dtype=mdt)
+        L = L.at[:d, d:].set(jnp.diag(inv_m.astype(mdt)))
+        L = L.at[d:, :d].set(-Hm)
+        eye2 = jnp.eye(2 * d, dtype=mdt)
+        T = eye2 + (dts / 4.0) * L
+        T = eye2 + (dts / 3.0) * (L @ T)
+        T = eye2 + (dts / 2.0) * (L @ T)
+        T = eye2 + dts * (L @ T)
+        Taa, Tab = T[:d, :d], T[:d, d:]
+        Tba, Tbb = T[d:, :d], T[d:, d:]
+        lmul = lambda A, M: jnp.einsum("ab,nbc->nac", A, M)
+        new_state = TrajState(
+            q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
+            Mqq=lmul(Taa, state.Mqq) + lmul(Tab, state.Mpq),
+            Mpq=lmul(Tba, state.Mqq) + lmul(Tbb, state.Mpq),
+            Mqp=lmul(Taa, state.Mqp) + lmul(Tab, state.Mpp),
+            Mpp=lmul(Tba, state.Mqp) + lmul(Tbb, state.Mpp),
         )
         return new_state, mean_energy
 
