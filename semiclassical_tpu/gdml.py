@@ -140,11 +140,27 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     dists = jnp.linalg.norm(diffs, axis=-1)                      # (B, D)
     xs = 1.0 / dists                                             # (B, D)
 
-    x_diffs = xs[:, None, :] - params.xs_train[None]             # (B, M, D)
-    x_dists = jnp.linalg.norm(x_diffs, axis=-1)                  # (B, M)
-
+    # Everything linear in the descriptor differences xs - xs_train is
+    # EXPANDED so no (B, M, D) tensor is ever materialised (the reference
+    # carries one through the whole forward, gdml_predictor.py:159-197):
+    # the kernel distances come from the Gram expansion
+    # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b and every contraction against
+    # x_diffs splits into a (B, D) @ (D, M) matmul plus a constant — pure
+    # MXU work with O(B M + B D) memory.
     A = params.Jx_alphas
-    XA = jnp.einsum("bmd,md->bm", x_diffs, A)                    # (B, M)
+    sq_b = jnp.sum(xs * xs, axis=1)                              # (B,)
+    sq_t = jnp.sum(params.xs_train * params.xs_train, axis=1)    # (M,)
+    gram = xs @ params.xs_train.T                                # (B, M)
+    # the floor keeps x_dists > 0 when the query IS a training geometry
+    # (the kernel and its weights vanish there, but 1/x_dists appears in
+    # the Hessian weights and sqrt'(0) would poison autodiff); 1e-10 is
+    # ~9 orders below any physical descriptor distance
+    x_dists = jnp.sqrt(jnp.maximum(
+        sq_b[:, None] + sq_t[None, :] - 2.0 * gram,
+        jnp.asarray(1e-20, dtype=gram.dtype)))                   # (B, M)
+
+    tA = jnp.sum(params.xs_train * A, axis=1)                    # (M,) const
+    XA = xs @ A.T - tA[None, :]                                  # (B, M)
 
     exp_fac = (1.0 / 3.0) * q**4 * jnp.exp(-q * x_dists)         # (B, M)
     mat52_base = exp_fac * (1.0 + q * x_dists) / q**2            # (B, M)
@@ -155,9 +171,12 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     if order == 0:
         return energy
 
-    # gradient in descriptor space
+    # gradient in descriptor space: the x_diffs contraction expands into
+    # a row-sum rescale of xs minus a (B, M) @ (M, D) matmul
+    w = exp_fac * XA                                             # (B, M)
     grad_x = jnp.einsum("bm,md->bd", mat52_base, A)
-    grad_x = grad_x - jnp.einsum("bm,bmd->bd", exp_fac * XA, x_diffs)  # (B, D)
+    grad_x = grad_x - (jnp.sum(w, axis=1)[:, None] * xs
+                       - w @ params.xs_train)                    # (B, D)
 
     xs3 = xs**3
     # cartesian gradient without materialising the Jacobian:
@@ -176,7 +195,7 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     ht = jnp.dtype(hess_dtype) if hess_dtype is not None else r.dtype
     cast = lambda a: a.astype(ht)
     xs_h, xs3_h, diffs_h = cast(xs), cast(xs3), cast(diffs)
-    x_diffs_h, A_h = cast(x_diffs), cast(A)
+    A_h = cast(A)
     exp_fac_h, XA_h, grad_x_h = cast(exp_fac), cast(XA), cast(grad_x)
     incidence_h = cast(params.incidence)
     pair_outer_h = cast(params.pair_outer)
@@ -186,11 +205,24 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
             * incidence_h[None, :, :, None])                     # (B, D, N, 3)
     jac = jac.reshape(B, D, 3 * N)
 
+    # The Hessian weights divide by x_dists and contract the descriptor
+    # differences against themselves: here the Gram expansion's
+    # cancellation noise WOULD be amplified (q/x_dists is near-singular
+    # close to training geometries), so this block alone materialises the
+    # explicit differences at the Hessian dtype — the O(B M D) build is
+    # negligible next to the O(B M D 3N) contractions below, and the
+    # energy/gradient path above stays matmul-only.
+    x_diffs_h = xs_h[:, None, :] - cast(params.xs_train)[None]   # (B, M, D)
+    # same 1e-10 floor as the expanded x_dists: a query exactly ON a
+    # training geometry has XJ = 0, and 0/0 would poison the whole row
+    x_dists_h = jnp.maximum(jnp.linalg.norm(x_diffs_h, axis=-1),
+                            jnp.asarray(1e-10, dtype=ht))        # (B, M)
+
     XJ = jnp.einsum("bmd,bdx->bmx", x_diffs_h, jac)              # (B, M, 3N)
     AJ = jnp.einsum("md,bdx->bmx", A_h, jac)                     # (B, M, 3N)
     JJ = jnp.einsum("bdx,bdy->bxy", jac, jac)                    # (B, 3N, 3N)
 
-    w1 = exp_fac_h * XA_h * cast(q / x_dists)
+    w1 = exp_fac_h * XA_h * (cast(q) / x_dists_h)
     hess = jnp.einsum("bm,bmx,bmy->bxy", w1, XJ, XJ)
     hess = hess - jnp.sum(exp_fac_h * XA_h, axis=1)[:, None, None] * JJ
     cross = jnp.einsum("bm,bmx,bmy->bxy", exp_fac_h, AJ, XJ)
