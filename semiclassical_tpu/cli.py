@@ -358,13 +358,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         "'checkpoint' and 'calc_norm_every' cannot be combined")
 
     # scan segmentation: each chunk is one uninterrupted XLA execution
-    # (remote-TPU watchdogs kill runs past ~60 s). The separable HK path
-    # is ~2e-5 ms/traj-step, so 500-step chunks stay around a second even
-    # at the 1M-trajectory batch ceiling and the per-chunk host round-trip
-    # stops dominating the wall time (98k x 2000 steps: 90 s at chunk=100
-    # -> 15.6 s at chunk=500); the dense/molecular and WM paths keep 100.
-    default_chunk = (500 if (propagator_name == "HK"
-                             and task["potential"]["type"] == "anharmonic AS")
+    # (remote-TPU watchdogs kill runs past ~60 s). The separable paths
+    # (diagonal monodromy: HK ~2e-5 ms/traj-step, WM per-mode 2x2 ~5e-4)
+    # stay seconds-per-chunk at 500 steps even at their batch ceilings,
+    # and the per-chunk host round-trip stops dominating the wall time
+    # (98k x 2000 steps: 90 s at chunk=100 -> 15.6 s at chunk=500); the
+    # dense/molecular paths keep 100.
+    default_chunk = (500 if task["potential"]["type"] == "anharmonic AS"
                      else 100)
     scan_chunk = task.get("scan_chunk", default_chunk)
 

@@ -58,7 +58,43 @@ from semiclassical_tpu.units import hbar
 __all__ = ["WMParams", "WMBatchConstants", "WaltonManolopoulosPropagator"]
 
 
-@pytree_dataclass(meta=("dim", "rank", "m_log_det"))
+@pytree_dataclass
+class WMDiagConsts:
+    """Per-mode constants of the separable all-diagonal WM fast path.
+
+    Valid when Gamma_0, Gamma_i, Gamma_t are all diagonal and rank == dim
+    (no zero modes): every block of the balanced A-matrix (eqn. 50) is then
+    diagonal, so A decouples into d independent 2x2 complex systems per
+    trajectory — the (n, 2r, 2r) factorisations, (n, d, 2r) projections and
+    (n, r, r) M-solves of `wm_scan_derived` all collapse to elementwise
+    (n, d) arithmetic, and the determinants become log-space per-mode
+    products (the same structure as HK's `factors_diag` prefactor).
+
+    Every field is a REAL (d,) vector; purely-imaginary constants are kept
+    as their imaginary plane (`*_im`) so no complex constant is ever
+    captured by jit (TPU numerics contract).
+    """
+
+    u1: jnp.ndarray        # Dbal q-column scale / sqrt(s) = 1/sqrt(g0 s)
+    u2: jnp.ndarray        # Dbal p-column scale / sqrt(s) = sqrt(g0 / s)
+    gt: jnp.ndarray        # Gamma_t diagonal
+    g0: jnp.ndarray        # Gamma_0 diagonal
+    cb11: jnp.ndarray      # A_const_b^T [0,0] = (2 alpha g0 + gi)/(g0 s)
+    cb12_im: jnp.ndarray   # A_const_b^T [0,1] / i = -2/(hbar s)
+    cb22: jnp.ndarray      # A_const_b^T [1,1] = 2 beta / s
+    fq1: jnp.ndarray       # Fq q-column: g0 gi u1 / (g0 + gi)
+    fq2_im: jnp.ndarray    # Fq p-column / i: -g0 u2 / (hbar (g0 + gi))
+    bq1: jnp.ndarray       # BqUb q-column: gi u1
+    bq2_im: jnp.ndarray    # BqUb p-column / i: -u2 / hbar
+    c2_11: jnp.ndarray     # C2b [0,0] = gi^2 u1^2 / (g0 + gi)
+    c2_12_im: jnp.ndarray  # C2b [0,1] / i = -gi u1 u2 / (hbar (g0 + gi))
+    c2_22: jnp.ndarray     # C2b [1,1] = -u2^2 / (hbar^2 (g0 + gi))
+    m0: jnp.ndarray        # M0 diagonal: g0 + gt
+    cqq: jnp.ndarray       # Cqq diagonal: g0 gi / (g0 + gi)
+    ig0i: jnp.ndarray      # [Gi + G0]^{-1} diagonal: 1 / (g0 + gi)
+
+
+@pytree_dataclass(meta=("dim", "rank", "m_log_det", "scan_diag"))
 class WMParams:
     """Constant parameter pack of the WM propagator.
 
@@ -110,9 +146,12 @@ class WMParams:
     Fq: jnp.ndarray          # (d, 2r) complex  G0 [Gi+G0]^{-1} BqUb
     C2b: jnp.ndarray         # (2r, 2r) complex BqUb^T [Gi+G0]^{-1} BqUb
     M0: jnp.ndarray          # (r, r) real      U^T (G0 + Gt) U
+    diag: WMDiagConsts | None  # per-mode constants (scan_diag only)
     dim: int
     rank: int
     m_log_det: float         # static: log of the factored-out detM scale
+    scan_diag: bool          # static: all widths diagonal and rank == dim —
+                             # the scan fast path runs per-mode 2x2 algebra
 
 
 @pytree_dataclass
@@ -225,6 +264,42 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
     C2b = BqUb.T @ iGi0 @ BqUb  # plain transpose (no conjugation)
     M0 = U.T @ (Gamma_0 + Gamma_t) @ U
 
+    # separable all-diagonal detection (see WMDiagConsts): exact-zero
+    # off-diagonals, like HK's factors_diag — model potentials build their
+    # width matrices with np.diag, molecular fchk widths are dense
+    def _isdiag(M):
+        M = np.asarray(M, dtype=np.float64)
+        return float(np.abs(M - np.diag(np.diag(M))).max()) == 0.0
+
+    scan_diag = (r == hk.dim and _isdiag(Gamma_0) and _isdiag(Gamma_i)
+                 and _isdiag(Gamma_t))
+    diag = None
+    if scan_diag:
+        g0d = np.diag(np.asarray(Gamma_0, dtype=np.float64))
+        gid = np.diag(np.asarray(Gamma_i, dtype=np.float64))
+        gtd = np.diag(np.asarray(Gamma_t, dtype=np.float64))
+        u1d = 1.0 / np.sqrt(g0d) * sc
+        u2d = np.sqrt(g0d) * sc
+        gi0 = g0d + gid
+        vec = lambda x: jnp.asarray(np.broadcast_to(x, g0d.shape),
+                                    dtype=dtype)
+        diag = WMDiagConsts(
+            u1=vec(u1d), u2=vec(u2d), gt=vec(gtd), g0=vec(g0d),
+            cb11=vec((2.0 * alpha * g0d + gid) / (g0d * s_ab)),
+            cb12_im=vec(-2.0 / (hbar * s_ab)),
+            cb22=vec(2.0 * beta / s_ab),
+            fq1=vec(g0d * gid * u1d / gi0),
+            fq2_im=vec(-g0d * u2d / (hbar * gi0)),
+            bq1=vec(gid * u1d),
+            bq2_im=vec(-u2d / hbar),
+            c2_11=vec(gid**2 * u1d**2 / gi0),
+            c2_12_im=vec(-gid * u1d * u2d / (hbar * gi0)),
+            c2_22=vec(-u2d**2 / (hbar**2 * gi0)),
+            m0=vec(g0d + gtd),
+            cqq=vec(g0d * gid / gi0),
+            ig0i=vec(1.0 / gi0),
+        )
+
     return WMParams(
         hk=hk,
         alpha=jnp.asarray(alpha, dtype=dtype),
@@ -249,9 +324,11 @@ def _build_wm_params(hk: HKParams, Gamma_i, Gamma_t, Gamma_0, alpha, beta,
         Fq=to_device(Fq, cdtype),
         C2b=to_device(C2b, cdtype),
         M0=jnp.asarray(M0, dtype=dtype),
+        diag=diag,
         dim=hk.dim,
         rank=hk.rank,
         m_log_det=m_log_det,
+        scan_diag=scan_diag,
     )
 
 
@@ -394,8 +471,144 @@ class WMScanDerived:
     kfac: jnp.ndarray    # (n,) complex  nacqQ + nacQ nacq  (eqns. 89-100)
 
 
+def _logspace_prod(z_re, z_im, cdtype):
+    """prod_i (z_re + i z_im)[:, i] over the mode axis, in log space
+    (magnitudes as a sum of logs, phases as a sum of angles — range-safe
+    at any mode count; same pattern as hk_prefactor_det's diagonal path)."""
+    log_mag = 0.5 * jnp.sum(jnp.log(z_re**2 + z_im**2), axis=1)
+    ang = jnp.sum(jnp.arctan2(z_im, z_re), axis=1)
+    return complex_exp(log_mag, ang, cdtype)
+
+
+def _wm_diag_core(params: WMParams, state: TrajState):
+    """Per-mode 2x2 A/M algebra of the diag fast path: returns (detA,
+    detM, y1, y2, iM) with every batched tensor (n, d)."""
+    hk = params.hk
+    cdtype = hk.cdtype
+    rd = real_dtype(cdtype)
+    dg = params.diag
+    ih = 1.0 / hbar
+
+    row = lambda v: v.astype(rd)[None, :]
+    u1, u2, gt = row(dg.u1), row(dg.u2), row(dg.gt)
+    X1 = state.Mqq.astype(rd) * u1                        # (n, d)
+    X2 = state.Mqp.astype(rd) * u2
+    Z1 = state.Mpq.astype(rd) * u1
+    Z2 = state.Mpp.astype(rd) * u2
+
+    # balanced transposed-A blocks, per mode (cf. the Gram-block assembly
+    # of the generic path; all re/im planes are real elementwise products)
+    G11, G12, G22 = gt * X1 * X1, gt * X1 * X2, gt * X2 * X2
+    B11, B12 = X1 * Z1, X1 * Z2
+    B21, B22 = X2 * Z1, X2 * Z2
+    TR1, TR2 = Z1 * X2, Z2 * X2
+    At11 = lax.complex(row(dg.cb11) + G11, B11 * ih)
+    At12 = lax.complex(G12, row(dg.cb12_im) + (2.0 * B12 - TR1) * ih)
+    At21 = lax.complex(G12, B21 * ih)
+    At22 = lax.complex(row(dg.cb22) + G22, (2.0 * B22 - TR2) * ih)
+    P1 = lax.complex(gt * X1, Z1 * ih)
+    P2 = lax.complex(gt * X2, Z2 * ih)
+
+    det_i = At11 * At22 - At12 * At21                     # (n, d) complex
+    detA = _logspace_prod(det_i.real, det_i.imag, cdtype)
+
+    # Y = At^{-1} P, closed-form 2x2 per mode
+    y1 = (At22 * P1 - At12 * P2) / det_i
+    y2 = (At11 * P2 - At21 * P1) / det_i
+
+    # M' = M0 - Y^T (P + C2b Y), scalar per mode
+    c2y1 = row(dg.c2_11) * y1 + row(dg.c2_12_im) * times_i(y2)
+    c2y2 = row(dg.c2_12_im) * times_i(y1) + row(dg.c2_22) * y2
+    Mp = (row(dg.m0).astype(cdtype)
+          - (y1 * (P1 + c2y1) + y2 * (P2 + c2y2)))
+    m_scale = params.m_scale.astype(rd)
+    Mps = Mp / m_scale
+    detM = _logspace_prod(Mps.real, Mps.imag, cdtype)
+    iM = 1.0 / Mp                                         # (n, d) complex
+    return detA, detM, y1, y2, iM
+
+
+def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
+                          state: TrajState, potential) -> WMScanDerived:
+    """Per-mode 2x2 evaluation of `wm_scan_derived` (see WMDiagConsts).
+
+    Numerically identical to the generic path (the projection basis U is
+    orthogonal and the balancing is det-preserving, so detA, detM and every
+    bilinear form agree to rounding — gated by
+    tests/test_wm_fastpath.py::test_diag_path_matches_generic); all batched
+    tensors are (n, d) and the whole derivation is elementwise except the
+    final (n, d, 5) gram contraction.
+    """
+    hk = params.hk
+    cdtype = hk.cdtype
+    rd = real_dtype(cdtype)
+    dg = params.diag
+    row = lambda v: v.astype(rd)[None, :]
+
+    detA, detM, y1, y2, iM = _wm_diag_core(params, state)
+
+    # projected observable vectors (differences at trajectory precision)
+    t = params.Gt.dtype
+    q0 = hk.q0
+    dq = (q0[None, :] - bc.base.qi.astype(q0.dtype)).astype(t)
+    dQ = (q0[None, :] - state.q.astype(q0.dtype)).astype(t)
+    n1q = bc.n1q.astype(t)
+    n1Q_t, n2Q_t = _nac_terms(potential, state.q)
+    n1Q = n1Q_t.astype(t)
+    dp = (state.p.astype(q0.dtype) - hk.p0[None, :]).astype(t)
+    dp0 = (hk.p0[None, :] - bc.base.pi.astype(q0.dtype)).astype(t)
+
+    # A_vec(x) = (y . Fq) x, dPIQ_U = dp + (y . BqUb) [Gi+G0]^{-1} (p0-pi)
+    yf = row(dg.fq1) * y1 + row(dg.fq2_im) * times_i(y2)  # (n, d) complex
+    yb = row(dg.bq1) * y1 + row(dg.bq2_im) * times_i(y2)
+    g0r = dg.g0.astype(t)[None, :]
+    stack = jnp.stack([
+        yf * dq,
+        yf * n1q,
+        (g0r * dQ).astype(cdtype),
+        (g0r * n1Q).astype(cdtype),
+        dp.astype(cdtype) + yb * (dg.ig0i.astype(t)[None, :] * dp0),
+    ], axis=2)                                            # (n, d, 5)
+    gram = jnp.einsum("nik,nil->nkl", stack, iM[:, :, None] * stack)
+
+    # constant-matrix bilinear pieces, diagonal weights
+    cqq = dg.cqq.astype(t)[None, :]
+    c_dd = jnp.sum(dq * cqq * dq, axis=1).astype(cdtype)
+    c_dn = jnp.sum(dq * cqq * n1q, axis=1).astype(cdtype)
+    g_DD = jnp.sum(dQ * g0r * dQ, axis=1).astype(cdtype)
+    g_Dn = jnp.sum(dQ * g0r * n1Q, axis=1).astype(cdtype)
+    piq_dq = jnp.einsum("ni,ni->n", bc.PIq.astype(t), dq).astype(cdtype)
+    piq_n = jnp.einsum("ni,ni->n", bc.PIq.astype(t), n1q).astype(cdtype)
+    p0_dQ = jnp.einsum("i,ni->n", hk.p0.astype(t), dQ).astype(cdtype)
+    p0_n = jnp.einsum("i,ni->n", hk.p0.astype(t), n1Q).astype(cdtype)
+
+    rqq = c_dd - gram[:, 0, 0]
+    rQQ = g_DD - gram[:, 2, 2]
+    rqQ = gram[:, 0, 2]
+    Pq_dq = piq_dq - gram[:, 0, 4]
+    PQ_dQ = p0_dQ + gram[:, 2, 4]
+    gamma = bc.eps.astype(cdtype) - (0.5 / hbar**2) * gram[:, 4, 4]
+
+    nacqQ = gram[:, 1, 3]
+    nacQ = (n2Q_t.astype(cdtype)
+            + (g_Dn - gram[:, 2, 3])
+            - gram[:, 0, 3]
+            - times_i((p0_n + gram[:, 3, 4]) / hbar))
+    nacq = (bc.n2q.astype(cdtype)
+            + (c_dn - gram[:, 0, 1])
+            - gram[:, 1, 2]
+            + times_i((piq_n - gram[:, 1, 4]) / hbar))
+    kfac = nacqQ + nacQ * nacq
+
+    return WMScanDerived(detA=detA, detM=detM, gamma=gamma, rqq=rqq,
+                         rQQ=rQQ, rqQ=rqQ, Pq_dq=Pq_dq, PQ_dQ=PQ_dQ,
+                         kfac=kfac)
+
+
 def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
                     potential) -> WMScanDerived:
+    if params.scan_diag and state.diag_monodromy:
+        return _wm_scan_derived_diag(params, bc, state, potential)
     hk = params.hk
     cdtype = hk.cdtype
     rd = real_dtype(cdtype)
@@ -871,11 +1084,18 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
 
     def _make_trackers(self, state):
         c2 = hk_prefactor_det(self.params.hk, state)
-        derived = wm_derived(self.params, self._bc, state)
+        if self.params.scan_diag and state.diag_monodromy:
+            # per-mode core only — the full-tensor wm_derived materialises
+            # (n, d, d) complex tensors, which would cap the batch size the
+            # diag scan path exists to lift
+            detA, detM, _, _, _ = jax.jit(_wm_diag_core)(self.params, state)
+        else:
+            derived = wm_derived(self.params, self._bc, state)
+            detA, detM = derived.detA, derived.detM
         return {
             "prefactorC": SignTracker.fresh(c2),
-            "detA": SignTracker.fresh(derived.detA),
-            "detM": SignTracker.fresh(derived.detM),
+            "detA": SignTracker.fresh(detA),
+            "detM": SignTracker.fresh(detM),
         }
 
     def _scan(self, potential, dt, nt):

@@ -99,3 +99,56 @@ def test_scan_observables_match_full(with_zero_modes):
     assert abs(complex(cauto_fast) - complex(cauto_full)) < 1e-10
     assert abs(complex(kic_fast) - complex(kic_full)) < 1e-10 * max(
         1.0, abs(complex(kic_full)))
+
+
+def test_diag_path_matches_generic():
+    """The per-mode 2x2 path (scan_diag, WMDiagConsts) must agree with the
+    generic projected-2r evaluation field by field: the basis change U is
+    orthogonal and the balancing is det-preserving, so the only differences
+    are rounding."""
+    from semiclassical_tpu.pytree import replace
+
+    prop, pot = _setup(with_zero_modes=False)
+    params, bc, state = prop.params, prop._bc, prop.state
+    assert params.scan_diag and state.diag_monodromy
+
+    fast_diag = wm_scan_derived(params, bc, state, pot)
+    generic = wm_scan_derived(replace(params, scan_diag=False),
+                              bc, state, pot)
+    for field in ("detA", "detM", "gamma", "rqq", "rQQ", "rqQ",
+                  "Pq_dq", "PQ_dQ", "kfac"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fast_diag, field)),
+            np.asarray(getattr(generic, field)),
+            rtol=1e-9, atol=1e-12, err_msg=field)
+
+
+def test_diag_path_full_scan_equivalence():
+    """End to end: the jitted WM scan with the diag path produces the same
+    correlation functions as the generic fast path over a time horizon long
+    enough to cross sqrt branch cuts."""
+    from semiclassical_tpu.pytree import replace
+
+    rng = np.random.default_rng(11)
+    d = 6
+    omega = rng.uniform(0.005, 0.02, size=d)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    q0 = rng.uniform(0.5, 1.5, size=d)
+    pot = MorsePotential.create(omega, np.full(d, 0.02), nac)
+    Gamma = np.diag(omega)
+
+    results = {}
+    for label, force_generic in (("diag", False), ("generic", True)):
+        prop = WaltonManolopoulosPropagator(Gamma, Gamma, 250.0, 400.0)
+        prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=512, key=3,
+                                potential=pot)
+        if force_generic:
+            prop.params = replace(prop.params, scan_diag=False)
+        assert prop.params.scan_diag is (not force_generic)
+        cauto, kic = prop.propagate(pot, 1.0, 60, energy0_es=0.01)
+        results[label] = (np.asarray(cauto), np.asarray(kic))
+
+    np.testing.assert_allclose(results["diag"][0], results["generic"][0],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(results["diag"][1], results["generic"][1],
+                               rtol=1e-9, atol=1e-12)
