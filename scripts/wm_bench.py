@@ -54,6 +54,9 @@ def main():
     nac = rng.uniform(-1.0, 1.0, size=d)
     chi = np.full(d, 0.02)
     pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float64)
+    # the CLI casts model potentials to the algebra dtype in the mixed
+    # mode (cli.py) so the per-stage Morse exp runs native f32 — match it
+    pot = jax.tree.map(lambda x: x.astype(jnp.float32), pot)
     dQ = np.sqrt(2.0 * S / omega)
     Gamma = np.diag(omega)
 

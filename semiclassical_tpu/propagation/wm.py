@@ -512,19 +512,23 @@ def _wm_diag_core(params: WMParams, state: TrajState):
     det_i = At11 * At22 - At12 * At21                     # (n, d) complex
     detA = _logspace_prod(det_i.real, det_i.imag, cdtype)
 
-    # Y = At^{-1} P, closed-form 2x2 per mode
-    y1 = (At22 * P1 - At12 * P2) / det_i
-    y2 = (At11 * P2 - At21 * P1) / det_i
+    # Y = At^{-1} P, closed-form 2x2 per mode. XLA's complex divide lowers
+    # to Smith's scaled algorithm (branches + several real divides per
+    # element); the balanced dets are O(1) by construction, so the plain
+    # conj/|z|^2 reciprocal is safe and much cheaper on the VPU.
+    inv_det = jnp.conj(det_i) * (1.0 / (det_i.real**2 + det_i.imag**2))
+    y1 = (At22 * P1 - At12 * P2) * inv_det
+    y2 = (At11 * P2 - At21 * P1) * inv_det
 
     # M' = M0 - Y^T (P + C2b Y), scalar per mode
     c2y1 = row(dg.c2_11) * y1 + row(dg.c2_12_im) * times_i(y2)
     c2y2 = row(dg.c2_12_im) * times_i(y1) + row(dg.c2_22) * y2
     Mp = (row(dg.m0).astype(cdtype)
           - (y1 * (P1 + c2y1) + y2 * (P2 + c2y2)))
-    m_scale = params.m_scale.astype(rd)
-    Mps = Mp / m_scale
+    Mps = Mp * (1.0 / params.m_scale.astype(rd))
     detM = _logspace_prod(Mps.real, Mps.imag, cdtype)
-    iM = 1.0 / Mp                                         # (n, d) complex
+    # same conj/|z|^2 reciprocal rationale as inv_det above
+    iM = jnp.conj(Mp) * (1.0 / (Mp.real**2 + Mp.imag**2))  # (n, d) complex
     return detA, detM, y1, y2, iM
 
 
@@ -536,8 +540,8 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
     orthogonal and the balancing is det-preserving, so detA, detM and every
     bilinear form agree to rounding — gated by
     tests/test_wm_fastpath.py::test_diag_path_matches_generic); all batched
-    tensors are (n, d) and the whole derivation is elementwise except the
-    final (n, d, 5) gram contraction.
+    tensors are (n, d) and the whole derivation is elementwise plus
+    mode-axis reductions — nothing ever enters a batched matmul.
     """
     hk = params.hk
     cdtype = hk.cdtype
@@ -562,14 +566,21 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
     yf = row(dg.fq1) * y1 + row(dg.fq2_im) * times_i(y2)  # (n, d) complex
     yb = row(dg.bq1) * y1 + row(dg.bq2_im) * times_i(y2)
     g0r = dg.g0.astype(t)[None, :]
-    stack = jnp.stack([
-        yf * dq,
-        yf * n1q,
-        (g0r * dQ).astype(cdtype),
-        (g0r * n1Q).astype(cdtype),
-        dp.astype(cdtype) + yb * (dg.ig0i.astype(t)[None, :] * dp0),
-    ], axis=2)                                            # (n, d, 5)
-    gram = jnp.einsum("nik,nil->nkl", stack, iM[:, :, None] * stack)
+    s0 = yf * dq
+    s1 = yf * n1q
+    s2 = (g0r * dQ).astype(cdtype)
+    s3 = (g0r * n1Q).astype(cdtype)
+    s4 = dp.astype(cdtype) + yb * (dg.ig0i.astype(t)[None, :] * dp0)
+    # the 13 needed gram entries s_k^T iM s_l as explicit fused reductions
+    # over the mode axis (a batched (n, 5, d) @ (n, d, 5) einsum pads both
+    # 5-lanes to the TPU tile and wastes ~30x the MACs)
+    sv = (s0, s1, s2, s3, s4)
+    wv = tuple(s * iM for s in sv)
+    gram = {(k, l): jnp.sum(sv[k] * wv[l], axis=1)
+            for k, l in ((0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
+                         (1, 2), (1, 3), (1, 4),
+                         (2, 2), (2, 3), (2, 4),
+                         (3, 4), (4, 4))}
 
     # constant-matrix bilinear pieces, diagonal weights
     cqq = dg.cqq.astype(t)[None, :]
@@ -582,22 +593,22 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
     p0_dQ = jnp.einsum("i,ni->n", hk.p0.astype(t), dQ).astype(cdtype)
     p0_n = jnp.einsum("i,ni->n", hk.p0.astype(t), n1Q).astype(cdtype)
 
-    rqq = c_dd - gram[:, 0, 0]
-    rQQ = g_DD - gram[:, 2, 2]
-    rqQ = gram[:, 0, 2]
-    Pq_dq = piq_dq - gram[:, 0, 4]
-    PQ_dQ = p0_dQ + gram[:, 2, 4]
-    gamma = bc.eps.astype(cdtype) - (0.5 / hbar**2) * gram[:, 4, 4]
+    rqq = c_dd - gram[0, 0]
+    rQQ = g_DD - gram[2, 2]
+    rqQ = gram[0, 2]
+    Pq_dq = piq_dq - gram[0, 4]
+    PQ_dQ = p0_dQ + gram[2, 4]
+    gamma = bc.eps.astype(cdtype) - (0.5 / hbar**2) * gram[4, 4]
 
-    nacqQ = gram[:, 1, 3]
+    nacqQ = gram[1, 3]
     nacQ = (n2Q_t.astype(cdtype)
-            + (g_Dn - gram[:, 2, 3])
-            - gram[:, 0, 3]
-            - times_i((p0_n + gram[:, 3, 4]) / hbar))
+            + (g_Dn - gram[2, 3])
+            - gram[0, 3]
+            - times_i((p0_n + gram[3, 4]) / hbar))
     nacq = (bc.n2q.astype(cdtype)
-            + (c_dn - gram[:, 0, 1])
-            - gram[:, 1, 2]
-            + times_i((piq_n - gram[:, 1, 4]) / hbar))
+            + (c_dn - gram[0, 1])
+            - gram[1, 2]
+            + times_i((piq_n - gram[1, 4]) / hbar))
     kfac = nacqQ + nacQ * nacq
 
     return WMScanDerived(detA=detA, detM=detM, gamma=gamma, rqq=rqq,
