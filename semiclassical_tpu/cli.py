@@ -60,8 +60,8 @@ def main(argv=None):
         help="numerical mode: f64 (full double, CPU default), mixed "
              "(f64 trajectories + f32 monodromy/complex algebra, TPU "
              "default — complex128 is unsupported on TPU), comp32 "
-             "(compensated-f32 trajectories, HK only: near-mixed accuracy "
-             "at native-f32 speed), f32 (fastest, reduced accuracy)")
+             "(compensated-f32 trajectories: near-mixed accuracy at "
+             "native-f32 speed), f32 (fastest, reduced accuracy)")
 
     parser_rates = subparsers.add_parser(
         "rates",
@@ -329,8 +329,8 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     if precision == "mixed":
         dtype, traj_dtype = jnp.float32, jnp.float64
     elif precision == "comp32":
-        # compensated-f32 trajectories (HK only): f64-quality accumulation
-        # at native-f32 speed — see propagation/state.py
+        # compensated-f32 trajectories: f64-quality accumulation at
+        # native-f32 speed — see propagation/state.py
         dtype, traj_dtype = jnp.float32, "comp32"
     elif precision == "f32":
         dtype, traj_dtype = jnp.float32, jnp.float32

@@ -405,7 +405,7 @@ def wm_derived(params: WMParams, bc: WMBatchConstants,
     Gti_iGi0 = jnp.einsum("nij,jk->nik", Gti, iGi0.astype(cdtype))
     CQQ = Gt_t - jnp.einsum("nik,nlk->nil", Gti_iGi0, Gti)            # (70)
     CqQ = jnp.einsum("ik,nlk->nil", params.G0iGi0.astype(cdtype), Gti)  # (71)
-    dp0 = (p0[None, :] - bc.base.pi).astype(cdtype)         # (n, d)
+    dp0 = _center_minus_initial(p0, hk.p0c, bc.base.pi).astype(cdtype)  # (n, d)
     PIQ = state.p.astype(cdtype) + jnp.einsum("nik,nk->ni", Gti_iGi0, dp0)  # (73)
 
     # eqn. 78: M = G0 + CQQ, projected to the non-zero subspace
@@ -551,16 +551,16 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
 
     detA, detM, y1, y2, iM = _wm_diag_core(params, state)
 
-    # projected observable vectors (differences at trajectory precision)
+    # projected observable vectors (differences at trajectory precision,
+    # comp32 residuals folded in)
     t = params.Gt.dtype
-    q0 = hk.q0
-    dq = (q0[None, :] - bc.base.qi.astype(q0.dtype)).astype(t)
-    dQ = (q0[None, :] - state.q.astype(q0.dtype)).astype(t)
+    dq = _center_minus_initial(hk.q0, hk.q0c, bc.base.qi).astype(t)
+    dQ = _dQ_evolved(hk, state).astype(t)
     n1q = bc.n1q.astype(t)
     n1Q_t, n2Q_t = _nac_terms(potential, state.q)
     n1Q = n1Q_t.astype(t)
-    dp = (state.p.astype(q0.dtype) - hk.p0[None, :]).astype(t)
-    dp0 = (hk.p0[None, :] - bc.base.pi.astype(q0.dtype)).astype(t)
+    dp = _dp_evolved(hk, state).astype(t)
+    dp0 = _center_minus_initial(hk.p0, hk.p0c, bc.base.pi).astype(t)
 
     # A_vec(x) = (y . Fq) x, dPIQ_U = dp + (y . BqUb) [Gi+G0]^{-1} (p0-pi)
     yf = row(dg.fq1) * y1 + row(dg.fq2_im) * times_i(y2)  # (n, d) complex
@@ -681,11 +681,11 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
           - jnp.einsum("nak,nal->nkl", Y, P + C2Y))
     m_scale = params.m_scale.astype(rd)
 
-    # projected observable vectors (differences at trajectory precision)
+    # projected observable vectors (differences at trajectory precision,
+    # comp32 residuals folded in)
     t = params.Gt.dtype
-    q0 = hk.q0
-    dq = (q0[None, :] - bc.base.qi.astype(q0.dtype)).astype(t)
-    dQ = (q0[None, :] - state.q.astype(q0.dtype)).astype(t)
+    dq = _center_minus_initial(hk.q0, hk.q0c, bc.base.qi).astype(t)
+    dQ = _dQ_evolved(hk, state).astype(t)
     n1q = bc.n1q.astype(t)
     n1Q_t, n2Q_t = _nac_terms(potential, state.q)
     n1Q = n1Q_t.astype(t)
@@ -700,7 +700,7 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
     A_n1q = A_vec(n1q)
     G_dQ = (dQ @ G0U).astype(cdtype)
     G_n1Q = (n1Q @ G0U).astype(cdtype)
-    dp = (state.p.astype(q0.dtype) - hk.p0[None, :]).astype(t)
+    dp = _dp_evolved(hk, state).astype(t)
     dPIQ_U = ((dp @ U.astype(t)).astype(cdtype)
               + jnp.einsum("nak,na->nk", Y, bc.z0))        # (n, r)
 
@@ -773,7 +773,7 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
                        potential=None) -> WMBatchConstants:
     base = hk_batch_constants(params.hk, qi, pi, log_prob,
                               potential=potential)
-    dp0 = params.hk.p0[None, :] - pi
+    dp0 = _center_minus_initial(params.hk.p0, params.hk.p0c, pi)
     # eps (eqn. 74 with b0 = 0) and PIq (eqn. 72 with pi_i = p)
     eps = -(0.5 / hbar**2) * jnp.einsum("na,ab,nb->n", dp0, params.hk.iGi0,
                                         dp0)
@@ -788,6 +788,36 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
     z0 = jnp.einsum("ia,ni->na", params.BqUb, v0)             # (n, 2r)
     return WMBatchConstants(base=base, eps=eps, PIq=PIq, n1q=n1q, n2q=n2q,
                             z0=z0)
+
+
+def _center_minus_initial(x0, x0c, xi):
+    """x0 - xi at the sampling precision. `xi` is the f64 sampler output in
+    every mode (comp32 included); the comp32 center is stored split as
+    x0 + x0c, so recombine it at xi's dtype before differencing. Depends
+    only on batch constants — XLA hoists it out of the time scan."""
+    x0f = x0.astype(xi.dtype)
+    if x0c is not None:
+        x0f = x0f + x0c.astype(xi.dtype)
+    return x0f[None, :] - xi
+
+
+def _dQ_evolved(hk, state):
+    """q0 - q(t) at trajectory-difference quality: in comp32 mode both the
+    center and the state are split f32 + residual, and folding the residual
+    difference in keeps the f64-difference quality of the mixed mode at
+    f32-op cost (same pattern as hk_autocorr_qp)."""
+    dQ = hk.q0[None, :] - state.q.astype(hk.q0.dtype)
+    if state.compensated and hk.q0c is not None:
+        dQ = dQ + (hk.q0c - state.qc)
+    return dQ
+
+
+def _dp_evolved(hk, state):
+    """p(t) - p0 with comp32 residuals folded in (see _dQ_evolved)."""
+    dp = state.p.astype(hk.p0.dtype) - hk.p0[None, :]
+    if state.compensated and hk.p0c is not None:
+        dp = dp + (state.pc - hk.p0c)
+    return dp
 
 
 def _nac_terms(potential, x):
@@ -811,9 +841,9 @@ def wm_autocorr_qp(params: WMParams, bc: WMBatchConstants, state: TrajState,
     reference propagators.py:1577-1614)."""
     hk = params.hk
     cdtype = c_signed.dtype
-    q0 = hk.q0[None, :].astype(cdtype)
-    dq = q0 - bc.base.qi.astype(cdtype)          # q0 - q(0)
-    dQ = q0 - state.q.astype(cdtype)             # q0 - q(t)
+    dq = _center_minus_initial(hk.q0, hk.q0c,
+                               bc.base.qi).astype(cdtype)   # q0 - q(0)
+    dQ = _dQ_evolved(hk, state).astype(cdtype)              # q0 - q(t)
 
     pref = params.auto_pref.astype(cdtype)
     phase = phase_exp(state.S / hbar, cdtype)
@@ -847,9 +877,9 @@ def wm_observables(params: WMParams, bc: WMBatchConstants, state: TrajState,
     n1Q, n2Q = _nac_terms(potential, state.q)
     n1q = bc.n1q.astype(cdtype)
     n1Q = n1Q.astype(cdtype)
-    q0 = params.hk.q0[None, :].astype(cdtype)
-    dq = q0 - bc.base.qi.astype(cdtype)
-    dQ = q0 - state.q.astype(cdtype)
+    dq = _center_minus_initial(params.hk.q0, params.hk.q0c,
+                               bc.base.qi).astype(cdtype)
+    dQ = _dQ_evolved(params.hk, state).astype(cdtype)
 
     nacqQ = jnp.einsum("ni,nij,nj->n", n1q, derived.RqQ, n1Q)
     nacQ = (n2Q.astype(cdtype)
@@ -875,8 +905,8 @@ def wm_coefficients(params: WMParams, bc: WMBatchConstants, state: TrajState,
     the pseudo-determinants; the explicit 1/(2 pi)^d of eqn. 75 is the same
     (2 pi hbar)^d already folded into the Monte-Carlo weight."""
     cdtype = c_signed.dtype
-    q0 = params.hk.q0[None, :].astype(cdtype)
-    dq = q0 - bc.base.qi.astype(cdtype)
+    dq = _center_minus_initial(params.hk.q0, params.hk.q0c,
+                               bc.base.qi).astype(cdtype)
     phase = phase_exp(state.S / hbar, cdtype)
     v = (params.coef_pref.astype(cdtype)
          * c_signed * phase
@@ -903,7 +933,7 @@ def wm_log_coefficients(params: WMParams, bc: WMBatchConstants,
     hk = params.hk
     t = params.Gt.dtype
     f64 = jnp.float64
-    dq_t = hk.q0[None, :] - bc.base.qi.astype(hk.q0.dtype)   # traj precision
+    dq_t = _center_minus_initial(hk.q0, hk.q0c, bc.base.qi)  # traj precision
     dq = dq_t.astype(t)
     quad = 0.5 * jnp.einsum("ni,ij,nj->n", dq, params.Cqq, dq)
     phase_pi = jnp.einsum("ni,ni->n", bc.PIq.astype(t), dq) / hbar
@@ -934,7 +964,8 @@ def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
     cdtype = complex_dtype(params.Gt.dtype)
     rd = real_dtype(cdtype)
     dxQ = x[None, :, :].astype(cdtype) - state.q[:, None, :].astype(cdtype)
-    dq = (params.hk.q0[None, :] - bc.base.qi).astype(cdtype)
+    dq = _center_minus_initial(params.hk.q0, params.hk.q0c,
+                               bc.base.qi).astype(cdtype)
     expo = (-0.5 * jnp.einsum("nxi,nij,nxj->nx", dxQ, derived.CQQ, dxQ)
             + jnp.einsum("ni,nij,nxj->nx", dq, derived.CqQ, dxQ)
             + times_i(jnp.einsum("ni,nxi->nx", derived.PIQ, dxQ) / hbar))
@@ -966,9 +997,8 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
     # keep U real: jnp.einsum upcasts against the complex operands, and a
     # complex closure constant would violate the TPU numerics contract
     U = hk.U.astype(rd)
-    q0 = hk.q0[None, :].astype(cdtype)
-    dvec = (jnp.einsum("nji,nj->ni", derived.CqQ,
-                       q0 - bc.base.qi.astype(cdtype))
+    dq0i = _center_minus_initial(hk.q0, hk.q0c, bc.base.qi).astype(cdtype)
+    dvec = (jnp.einsum("nji,nj->ni", derived.CqQ, dq0i)
             + times_i(derived.PIQ / hbar))                   # (n, d)
     Q = state.q.astype(cdtype)
     CQQ = derived.CQQ
@@ -1065,11 +1095,6 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
     def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64,
                  traj_dtype=None):
         super().__init__(Gamma_i, Gamma_t, dtype=dtype, traj_dtype=traj_dtype)
-        if self.compensated:
-            raise NotImplementedError(
-                "comp32 trajectories are HK-only: the WM observable chain "
-                "does not fold compensation residuals into its projections "
-                "(use the mixed mode, dtype=float32 traj_dtype=float64)")
         self.alpha = float(alpha)
         self.beta = float(beta)
 
@@ -1114,8 +1139,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                      self.trackers["detM"])
         return _wm_scan_jit(
             self.params, self._bc, potential, self.state, trackers0,
-            jnp.asarray(self.t, dtype=self.traj_dtype),
-            jnp.asarray(dt, dtype=self.traj_dtype), nt,
+            jnp.asarray(self.t, dtype=self._scalar_dtype),
+            jnp.asarray(dt, dtype=self._scalar_dtype), nt,
         )
 
     def _store_scan_carry(self, carry):

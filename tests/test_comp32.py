@@ -191,10 +191,55 @@ def test_comp32_dense_monodromy_path():
     assert np.abs(kc - km).max() / max(np.abs(km).max(), 1e-30) < 5e-4
 
 
-def test_comp32_wm_unsupported():
-    with pytest.raises(NotImplementedError):
-        WaltonManolopoulosPropagator(np.eye(2), np.eye(2), 100.0, 100.0,
-                                     dtype=jnp.float32, traj_dtype="comp32")
+def _as12_wm(traj_dtype, ntraj=2048, with_potential=True):
+    """WM twin-run setup on the 12-mode anharmonic model; withholding the
+    potential from initial_conditions forces the dense monodromy state and
+    the generic (non-diag) wm_scan_derived branch."""
+    rng = np.random.default_rng(0)
+    d = 12
+    omega = rng.uniform(300.0, 2500.0, size=d) / 219474.63
+    chi = np.full(d, 0.02)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    S = rng.uniform(0.02, 0.3, size=d)
+    pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float32)
+    Gamma = np.diag(omega)
+    q0 = np.sqrt(2 * S / omega)
+
+    prop = WaltonManolopoulosPropagator(Gamma, Gamma, 1.0e4, 1.0e4,
+                                        dtype=jnp.float32,
+                                        traj_dtype=traj_dtype)
+    prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=ntraj, key=11,
+                            potential=pot if with_potential else None)
+    return prop, pot
+
+
+def test_comp32_wm_matches_mixed():
+    """WM twin run (identical sampling): comp32 reproduces the mixed mode —
+    every displacement of the eqns. 57-100 chain folds the compensation
+    residuals (wm._dQ_evolved/_dp_evolved/_center_minus_initial)."""
+    prop_m, pot = _as12_wm(jnp.float64)
+    assert prop_m.params.scan_diag and prop_m.state.diag_monodromy
+    cm, km = prop_m.propagate(pot, 2.0, 100, check_energy=False)
+    prop_c, pot = _as12_wm("comp32")
+    assert prop_c.state.compensated and prop_c.state.diag_monodromy
+    cc, kc = prop_c.propagate(pot, 2.0, 100, check_energy=False)
+    err_c = np.abs(cc - cm).max() / np.abs(cm).max()
+    err_k = np.abs(kc - km).max() / max(np.abs(km).max(), 1e-30)
+    assert err_c < 5e-4, err_c
+    assert err_k < 5e-4, err_k
+
+
+def test_comp32_wm_dense_path_matches_mixed():
+    """Same twin comparison through the dense-monodromy generic
+    wm_scan_derived branch (the molecular/rank-deficient WM route)."""
+    prop_m, pot = _as12_wm(jnp.float64, ntraj=1024, with_potential=False)
+    assert not prop_m.state.diag_monodromy
+    cm, km = prop_m.propagate(pot, 2.0, 60, check_energy=False)
+    prop_c, pot = _as12_wm("comp32", ntraj=1024, with_potential=False)
+    assert prop_c.state.compensated and not prop_c.state.diag_monodromy
+    cc, kc = prop_c.propagate(pot, 2.0, 60, check_energy=False)
+    assert np.abs(cc - cm).max() / np.abs(cm).max() < 5e-4
+    assert np.abs(kc - km).max() / max(np.abs(km).max(), 1e-30) < 5e-4
 
 
 def test_comp32_requires_f32_algebra():
