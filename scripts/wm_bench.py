@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--nt", type=int, default=20)
     ap.add_argument("--alpha", type=float, default=10000.0)
     ap.add_argument("--impl", default="")
+    ap.add_argument("--traj", default="float64",
+                    choices=["float64", "comp32"],
+                    help="trajectory mode: f64 (mixed) or compensated f32")
     ap.add_argument("--profile_dir", default="")
     args = ap.parse_args()
 
@@ -60,9 +63,10 @@ def main():
     dQ = np.sqrt(2.0 * S / omega)
     Gamma = np.diag(omega)
 
+    traj_dtype = jnp.float64 if args.traj == "float64" else "comp32"
     prop = WaltonManolopoulosPropagator(Gamma, Gamma, args.alpha, args.alpha,
                                         dtype=jnp.float32,
-                                        traj_dtype=jnp.float64)
+                                        traj_dtype=traj_dtype)
     prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=args.ntraj, key=0,
                             potential=pot)
 
@@ -88,7 +92,7 @@ def main():
 
     print(json.dumps({
         "bench": "wm_step", "ntraj": args.ntraj, "nt": args.nt,
-        "impl": args.impl or "auto",
+        "impl": args.impl or "auto", "traj": args.traj,
         "wall_s": round(wall, 3),
         "ms_per_step": round(1e3 * wall / args.nt, 2),
         "traj_steps_per_s": round(args.ntraj * args.nt / wall, 1),

@@ -317,11 +317,11 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     if precision is None:
         if jax.default_backend() == "cpu":
             precision = "f64"
-        elif (propagator_name == "HK"
-              and task["potential"]["type"] == "anharmonic AS"):
-            # HK on separable model potentials: compensated-f32
-            # trajectories track the mixed mode to 5e-7 over 2000 steps
-            # at ~2x the speed (tests/test_comp32.py, BASELINE.md)
+        elif task["potential"]["type"] == "anharmonic AS":
+            # separable model potentials: compensated-f32 trajectories
+            # track the mixed mode to 5e-7 over 2000 steps (HK) / 2.5e-7
+            # over 500 steps at 60 modes (WM) at 2-2.6x the speed
+            # (tests/test_comp32.py, BASELINE.md)
             precision = "comp32"
         else:
             precision = "mixed"
