@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--ntraj", type=int, default=524288)
     ap.add_argument("--nt", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--traj", default="float64",
+                    choices=["float64", "comp32"])
     args = ap.parse_args()
 
     import jax
@@ -59,9 +61,10 @@ def main():
     dQ = np.sqrt(2.0 * S / omega)
     Gamma = np.diag(omega)
 
+    traj_dtype = jnp.float64 if args.traj == "float64" else "comp32"
     prop = WaltonManolopoulosPropagator(Gamma, Gamma, 10000.0, 10000.0,
                                         dtype=jnp.float32,
-                                        traj_dtype=jnp.float64)
+                                        traj_dtype=traj_dtype)
     prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=args.ntraj, key=0,
                             potential=pot)
     params, bc, state0 = prop.params, prop._bc, prop.state
