@@ -34,6 +34,7 @@ __all__ = [
     "to_device",
     "from_device",
     "phase_exp",
+    "batched_mode_product",
     "sym_eigh",
     "sym_sqrtm",
     "is_symmetric_non_negative",
@@ -91,6 +92,65 @@ def from_device(x):
     if jnp.iscomplexobj(x):
         return np.asarray(x.real) + 1j * np.asarray(x.imag)
     return np.asarray(x)
+
+
+def batched_mode_product(z_re, z_im, cdtype):
+    """prod over the mode axis (axis 1) of z = z_re + i z_im (n, d) real
+    planes, returned as `cdtype` (n,) — WITHOUT transcendentals.
+
+    The log-space form (sum of log |z|^2 + sum of arctan2, then
+    exp/cos/sin) is range-safe but evaluates two transcendentals per
+    (trajectory, mode) element — measured ~5.5 ms of the 11.4 ms 524k-
+    trajectory HK diag step on v5e. Here each factor is instead scaled by
+    an exact power of two read off its |z|^2 EXPONENT FIELD
+    (j = floor(exponent/2), |z * 2^-j| in [1, 2)), the normalized complex
+    product is taken by a static halving tree (exact phase, magnitude in
+    [1, 2^d) — representable for any d <= 120 in f32), and the collected
+    integer exponent re-enters as two power-of-two factors. Only integer
+    ops and multiplies touch the (n, d) planes; the two exp2 calls act on
+    (n,) scalars. Range contract: the RESULT magnitude must be
+    representable in the real dtype — the same contract the previous
+    complex_exp(log...) return value already imposed (prefactor dets are
+    balanced/scaled to O(1) upstream: hk factors_diag, wm m_scale/Dbal).
+    """
+    rd = real_dtype(cdtype)
+    if z_re.dtype == jnp.float64:
+        ibits, mant, bias = jnp.int64, 52, 1023
+    else:
+        ibits, mant, bias = jnp.int32, 23, 127
+    m2 = z_re * z_re + z_im * z_im
+    k = (jax.lax.bitcast_convert_type(m2, ibits) >> mant) - bias
+    j = k >> 1                                     # floor(exponent/2)
+    scale = jax.lax.bitcast_convert_type(
+        (jnp.asarray(bias, ibits) - j) << mant, m2.dtype)
+    zr = z_re * scale
+    zi = z_im * scale
+    sj = jnp.sum(j, axis=1)                        # (n,) int
+
+    n, d = z_re.shape
+    n2 = 1
+    while n2 < d:
+        n2 *= 2
+    if n2 != d:                                    # pad with neutral 1+0i
+        zr = jnp.concatenate(
+            [zr, jnp.ones((n, n2 - d), zr.dtype)], axis=1)
+        zi = jnp.concatenate(
+            [zi, jnp.zeros((n, n2 - d), zi.dtype)], axis=1)
+    h = n2 // 2
+    while h >= 1:
+        ar, ai = zr[:, :h], zi[:, :h]
+        br, bi = zr[:, h:2 * h], zi[:, h:2 * h]
+        zr, zi = ar * br - ai * bi, ar * bi + ai * br
+        h //= 2
+    zr, zi = zr[:, 0], zi[:, 0]
+
+    # 2^sj in two exact halves: |sj| <= 2 * 60-ish + log2|result| stays
+    # well inside the exponent range of each half
+    a = sj >> 1
+    fa = jnp.exp2(a.astype(m2.dtype))
+    fb = jnp.exp2((sj - a).astype(m2.dtype))
+    return jax.lax.complex(((zr * fa) * fb).astype(rd),
+                           ((zi * fa) * fb).astype(rd))
 
 
 def phase_exp(s, cdtype):

@@ -116,6 +116,18 @@ class HKParams:
     # compensated trajectory state. None in the plain modes.
     q0c: jnp.ndarray | None = None
     p0c: jnp.ndarray | None = None
+    # factors_diag fast path: each prefactor factor product Lt_x diag(m)
+    # Ri_y is a generalized permutation matrix (one nonzero per row), and
+    # the mode product defining the determinant is permutation-invariant —
+    # so when all four factors share the same permutation and rank == dim,
+    # the four (n, d) @ (d, r) matmuls of the diagonal prefactor collapse
+    # to elementwise scales in unpermuted mode order (measured: the thin
+    # K=60 matmuls were ~5.5 ms of the 11.4 ms 524k comp32 step). None
+    # when the collapse does not apply.
+    diag_ka: jnp.ndarray | None = None  # (d,) scale of Lt_s . Ri_i
+    diag_kb: jnp.ndarray | None = None  # (d,) scale of Lt_s . Ri_s
+    diag_kc: jnp.ndarray | None = None  # (d,) scale of Lt_i . Ri_s
+    diag_ke: jnp.ndarray | None = None  # (d,) scale of Lt_i . Ri_i
 
     @property
     def cdtype(self):
@@ -202,6 +214,25 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
     factors_diag = factors_real and all(
         _offdiag_zero(L.real, R.real)
         for L, R in ((Lt_s, Ri_i), (Lt_s, Ri_s), (Lt_i, Ri_s), (Lt_i, Ri_i)))
+
+    # permutation-collapsed factor scales (see HKParams.diag_ka): K-matrix
+    # K[i, a] = L[a, i] R[i, a] has one nonzero per row; when all four
+    # share the same row->column permutation and rank == dim, store the
+    # scales in unpermuted mode order
+    diag_k = {}
+    if factors_diag and U.shape[0] == U.shape[1]:
+        nd = U.shape[0]
+        perms, scales = [], []
+        for Lf, Rf in ((Lt_s, Ri_i), (Lt_s, Ri_s),
+                       (Lt_i, Ri_s), (Lt_i, Ri_i)):
+            K = (Lf.real * Rf.real.T).T                   # (d, d)
+            perm = np.argmax(np.abs(K), axis=1)
+            perms.append(perm)
+            scales.append(K[np.arange(nd), perm])
+        if all((perm == perms[0]).all() for perm in perms[1:]):
+            diag_k = {name: jnp.asarray(s, dtype=rdtype)
+                      for name, s in zip(("diag_ka", "diag_kb",
+                                          "diag_kc", "diag_ke"), scales)}
     plane = lambda m: jnp.asarray(m, dtype=rdtype)
     return HKParams(
         Lt_s_re=plane(Lt_s.real), Lt_s_im=plane(Lt_s.imag),
@@ -216,6 +247,7 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
                          dtype=jnp.float32) if compensated else None),
         p0c=(jnp.asarray(p0 - np.float32(p0).astype(np.float64),
                          dtype=jnp.float32) if compensated else None),
+        **diag_k,
         G0=jnp.asarray(Gamma_0, dtype=traj_dtype),
         iGi0=jnp.asarray(iGi0, dtype=traj_dtype),
         R=jnp.asarray(R, dtype=traj_dtype),
@@ -301,22 +333,37 @@ def hk_prefactor_det(params: HKParams, state: TrajState):
     most expensive kernel of the dense HK step) disappears."""
     if params.factors_diag and state.diag_monodromy:
         rdtype = params.Lt_s_re.dtype
-        # per-mode weights of the diagonal: mat_aa = sum_i Lt[a,i] m_i
-        # Ri[i,a] = (m @ K^T)_a with K = Lt * Ri^T elementwise — constants,
-        # folded by XLA; the (n, d) @ (d, r) products replace the dense
-        # (n, r, r) assembly AND the batched determinant
-        Ka = (params.Lt_s_re * params.Ri_i_re.T).T         # (d, r)
-        Kb = (params.Lt_s_re * params.Ri_s_re.T).T
-        Kc = (params.Lt_i_re * params.Ri_s_re.T).T
-        Ke = (params.Lt_i_re * params.Ri_i_re.T).T
         mqq = state.Mqq.astype(rdtype)
         mqp = state.Mqp.astype(rdtype)
         mpq = state.Mpq.astype(rdtype)
         mpp = state.Mpp.astype(rdtype)
-        diag_re = 0.5 * (mqq @ Ka + mpp @ Kc)              # (n, r)
-        diag_im = 0.5 * (mpq @ Ke / hbar - hbar * (mqp @ Kb))
+        if params.diag_ka is not None:
+            # permutation-collapsed factors (HKParams.diag_ka): the four
+            # generalized-permutation K-matrices reduce to elementwise
+            # scales in unpermuted mode order — valid because the mode
+            # product below is permutation-invariant. Removes the four
+            # thin (n, d) @ (d, d) matmuls (measured ~5.5 ms of the
+            # 11.4 ms 524k comp32 step: K = 60 underfills the MXU).
+            diag_re = 0.5 * (mqq * params.diag_ka[None]
+                             + mpp * params.diag_kc[None])
+            diag_im = 0.5 * (mpq * params.diag_ke[None] / hbar
+                             - hbar * (mqp * params.diag_kb[None]))
+        else:
+            # per-mode weights of the diagonal: mat_aa = sum_i Lt[a,i] m_i
+            # Ri[i,a] = (m @ K^T)_a with K = Lt * Ri^T elementwise —
+            # constants, folded by XLA
+            Ka = (params.Lt_s_re * params.Ri_i_re.T).T     # (d, r)
+            Kb = (params.Lt_s_re * params.Ri_s_re.T).T
+            Kc = (params.Lt_i_re * params.Ri_s_re.T).T
+            Ke = (params.Lt_i_re * params.Ri_i_re.T).T
+            diag_re = 0.5 * (mqq @ Ka + mpp @ Kc)          # (n, r)
+            diag_im = 0.5 * (mpq @ Ke / hbar - hbar * (mqp @ Kb))
         # product over modes in log space: magnitudes as a sum of logs
-        # (range-safe at any d), phases as a sum of angles
+        # (range-safe at any d), phases as a sum of angles. A
+        # transcendental-free exponent-bitcast product
+        # (linalg.batched_mode_product) measured 1.4 ms SLOWER here at
+        # 524k — XLA fuses log/arctan2 into this elementwise chain while
+        # the halving tree forces extra fusion boundaries.
         log_mag = 0.5 * jnp.sum(jnp.log(diag_re**2 + diag_im**2), axis=1)
         ang = jnp.sum(jnp.arctan2(diag_im, diag_re), axis=1)
         return complex_exp(log_mag, ang, params.cdtype)

@@ -57,6 +57,25 @@ from semiclassical_tpu.units import hbar
 
 __all__ = ["WMParams", "WMBatchConstants", "WaltonManolopoulosPropagator"]
 
+# Fused Pallas kernel for the diag-path derived chain (ops/wm_kernel.py).
+# Default OFF: measured on v5e it only matches the XLA lowering at large
+# batches and loses at the 8k throughput optimum — the chain is
+# VPU-compute-bound, not fusion-bound (see the wm_kernel module
+# docstring). "1" enables it on TPU, "force" runs the interpret-mode
+# kernel off-TPU (parity tests).
+import os as _os
+_KERNEL_MODE = _os.environ.get("SEMI_WM_KERNEL", "0")
+
+
+def _diag_kernel_on(dtype, state):
+    if _KERNEL_MODE == "0" or hbar != 1.0:
+        return False
+    d = state.q.shape[1]
+    if _KERNEL_MODE == "force":
+        return jnp.dtype(dtype) == jnp.float32 and d <= 128
+    from semiclassical_tpu.ops.wm_kernel import wm_diag_kernel_available
+    return wm_diag_kernel_available(dtype, d)
+
 
 @pytree_dataclass
 class WMDiagConsts:
@@ -471,12 +490,12 @@ class WMScanDerived:
     kfac: jnp.ndarray    # (n,) complex  nacqQ + nacQ nacq  (eqns. 89-100)
 
 
-def _logspace_prod(z_re, z_im, cdtype):
-    """prod_i (z_re + i z_im)[:, i] over the mode axis, in log space
+def _logspace_prod(z_re, z_im, cdtype, axis=1):
+    """prod of (z_re + i z_im) over the mode `axis`, in log space
     (magnitudes as a sum of logs, phases as a sum of angles — range-safe
     at any mode count; same pattern as hk_prefactor_det's diagonal path)."""
-    log_mag = 0.5 * jnp.sum(jnp.log(z_re**2 + z_im**2), axis=1)
-    ang = jnp.sum(jnp.arctan2(z_im, z_re), axis=1)
+    log_mag = 0.5 * jnp.sum(jnp.log(z_re**2 + z_im**2), axis=axis)
+    ang = jnp.sum(jnp.arctan2(z_im, z_re), axis=axis)
     return complex_exp(log_mag, ang, cdtype)
 
 
@@ -549,8 +568,6 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
     dg = params.diag
     row = lambda v: v.astype(rd)[None, :]
 
-    detA, detM, y1, y2, iM = _wm_diag_core(params, state)
-
     # projected observable vectors (differences at trajectory precision,
     # comp32 residuals folded in)
     t = params.Gt.dtype
@@ -561,37 +578,64 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
     n1Q = n1Q_t.astype(t)
     dp = _dp_evolved(hk, state).astype(t)
     dp0 = _center_minus_initial(hk.p0, hk.p0c, bc.base.pi).astype(t)
-
-    # A_vec(x) = (y . Fq) x, dPIQ_U = dp + (y . BqUb) [Gi+G0]^{-1} (p0-pi)
-    yf = row(dg.fq1) * y1 + row(dg.fq2_im) * times_i(y2)  # (n, d) complex
-    yb = row(dg.bq1) * y1 + row(dg.bq2_im) * times_i(y2)
     g0r = dg.g0.astype(t)[None, :]
-    s0 = yf * dq
-    s1 = yf * n1q
-    s2 = (g0r * dQ).astype(cdtype)
-    s3 = (g0r * n1Q).astype(cdtype)
-    s4 = dp.astype(cdtype) + yb * (dg.ig0i.astype(t)[None, :] * dp0)
-    # the 13 needed gram entries s_k^T iM s_l as explicit fused reductions
-    # over the mode axis (a batched (n, 5, d) @ (n, d, 5) einsum pads both
-    # 5-lanes to the TPU tile and wastes ~30x the MACs)
-    sv = (s0, s1, s2, s3, s4)
-    wv = tuple(s * iM for s in sv)
-    gram = {(k, l): jnp.sum(sv[k] * wv[l], axis=1)
-            for k, l in ((0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
-                         (1, 2), (1, 3), (1, 4),
-                         (2, 2), (2, 3), (2, 4),
-                         (3, 4), (4, 4))}
 
-    # constant-matrix bilinear pieces, diagonal weights
+    if _diag_kernel_on(t, state):
+        # fused Pallas evaluation of the whole time-dependent chain: one
+        # VMEM pass over the 10 (n, d) input planes instead of the many
+        # fusion-boundary HBM roundtrips of the XLA lowering (measured
+        # ~25 ms/step of the 32 ms comp32 step at 524k — wm_diag_ablate)
+        from semiclassical_tpu.ops import wm_kernel
+        v0c = dg.ig0i.astype(t)[None, :] * dp0
+        cp = wm_kernel.build_const_pack(dg, hk.p0, params.m_scale, hk.dim)
+        scal, planes = wm_kernel.pallas_wm_diag_derived(
+            state.Mqq.astype(t), state.Mqp.astype(t),
+            state.Mpq.astype(t), state.Mpp.astype(t),
+            dQ, dp, dq, n1q, n1Q, v0c, cp,
+            _force=_KERNEL_MODE == "force")
+        # planes are (4, d, n) mode-major; reduce over axis 0 of each
+        detA = _logspace_prod(planes[0], planes[1], cdtype, axis=0)
+        detM = _logspace_prod(planes[2], planes[3], cdtype, axis=0)
+        gram = {pair: lax.complex(scal[2 * i], scal[2 * i + 1]
+                                  ).astype(cdtype)
+                for i, pair in enumerate(wm_kernel._GRAM_PAIRS)}
+        g_DD = scal[26].astype(cdtype)
+        g_Dn = scal[27].astype(cdtype)
+        p0_dQ = scal[28].astype(cdtype)
+        p0_n = scal[29].astype(cdtype)
+    else:
+        detA, detM, y1, y2, iM = _wm_diag_core(params, state)
+
+        # A_vec(x) = (y . Fq) x, dPIQ_U = dp + (y . BqUb) [Gi+G0]^{-1} (p0-pi)
+        yf = row(dg.fq1) * y1 + row(dg.fq2_im) * times_i(y2)  # (n, d) complex
+        yb = row(dg.bq1) * y1 + row(dg.bq2_im) * times_i(y2)
+        s0 = yf * dq
+        s1 = yf * n1q
+        s2 = (g0r * dQ).astype(cdtype)
+        s3 = (g0r * n1Q).astype(cdtype)
+        s4 = dp.astype(cdtype) + yb * (dg.ig0i.astype(t)[None, :] * dp0)
+        # the 13 needed gram entries s_k^T iM s_l as explicit fused reductions
+        # over the mode axis (a batched (n, 5, d) @ (n, d, 5) einsum pads both
+        # 5-lanes to the TPU tile and wastes ~30x the MACs)
+        sv = (s0, s1, s2, s3, s4)
+        wv = tuple(s * iM for s in sv)
+        gram = {(k, l): jnp.sum(sv[k] * wv[l], axis=1)
+                for k, l in ((0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
+                             (1, 2), (1, 3), (1, 4),
+                             (2, 2), (2, 3), (2, 4),
+                             (3, 4), (4, 4))}
+        g_DD = jnp.sum(dQ * g0r * dQ, axis=1).astype(cdtype)
+        g_Dn = jnp.sum(dQ * g0r * n1Q, axis=1).astype(cdtype)
+        p0_dQ = jnp.einsum("i,ni->n", hk.p0.astype(t), dQ).astype(cdtype)
+        p0_n = jnp.einsum("i,ni->n", hk.p0.astype(t), n1Q).astype(cdtype)
+
+    # constant-matrix bilinear pieces, diagonal weights (batch constants —
+    # XLA hoists them out of the time scan)
     cqq = dg.cqq.astype(t)[None, :]
     c_dd = jnp.sum(dq * cqq * dq, axis=1).astype(cdtype)
     c_dn = jnp.sum(dq * cqq * n1q, axis=1).astype(cdtype)
-    g_DD = jnp.sum(dQ * g0r * dQ, axis=1).astype(cdtype)
-    g_Dn = jnp.sum(dQ * g0r * n1Q, axis=1).astype(cdtype)
     piq_dq = jnp.einsum("ni,ni->n", bc.PIq.astype(t), dq).astype(cdtype)
     piq_n = jnp.einsum("ni,ni->n", bc.PIq.astype(t), n1q).astype(cdtype)
-    p0_dQ = jnp.einsum("i,ni->n", hk.p0.astype(t), dQ).astype(cdtype)
-    p0_n = jnp.einsum("i,ni->n", hk.p0.astype(t), n1Q).astype(cdtype)
 
     rqq = c_dd - gram[0, 0]
     rQQ = g_DD - gram[2, 2]

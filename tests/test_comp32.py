@@ -139,11 +139,13 @@ def test_comp32_sharding_equality():
     prop8, pot = _as12_mesh(mesh)
     c8, k8 = prop8.propagate(pot, 2.0, 20, check_energy=False)
     # the trajectories are bit-identical across layouts; the per-device
-    # observable partial sums are complex64, so the cross-device psum
-    # reassociation leaves ~1 ulp_f32 differences (the f64/c128 sharding
-    # gates in test_sharding.py hold 1e-12 for the same reason in reverse)
-    np.testing.assert_allclose(c8, c1, rtol=0, atol=2e-6)
-    np.testing.assert_allclose(k8, k1, rtol=0, atol=2e-6)
+    # observable partial sums are complex64, so fusion/psum reassociation
+    # leaves ~ulp_f32 RELATIVE differences against the observable scale
+    # (the f64/c128 sharding gates in test_sharding.py hold 1e-12 for the
+    # same reason in reverse; k~ic reaches ~1e6 here, so its tolerance
+    # must scale with it)
+    np.testing.assert_allclose(c8, c1, rtol=0, atol=2e-6 * np.abs(c1).max())
+    np.testing.assert_allclose(k8, k1, rtol=0, atol=2e-6 * np.abs(k1).max())
 
 
 def _as12_mesh(mesh, ntraj=1024):

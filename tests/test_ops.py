@@ -159,3 +159,41 @@ def test_pallas_det_padding():
     dn = np.linalg.det(A.astype(np.complex128))
     assert d.shape == (7,)
     assert np.allclose(d, dn, rtol=1e-5)
+
+
+def test_wm_diag_kernel_parity(monkeypatch):
+    """Interpret-mode parity of the fused WM diag-chain Pallas kernel
+    (ops/wm_kernel.py) against the production XLA lowering: every
+    WMScanDerived field to f32 rounding on a padded (n=300) batch. The
+    kernel is off by default (measured: it only matches XLA on TPU —
+    module docstring); this gate keeps the recorded experiment honest."""
+    from semiclassical_tpu.potentials import MorsePotential
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+    import semiclassical_tpu.propagation.wm as wm
+
+    rng = np.random.default_rng(42)
+    d = 12
+    omega = rng.uniform(200.0, 3000.0, size=d) / 219474.63
+    S = rng.uniform(0.01, 0.3, size=d)
+    pot = MorsePotential.create(omega, np.full(d, 0.02),
+                                rng.uniform(-1, 1, size=d),
+                                dtype=jnp.float32)
+    Gamma = np.diag(omega)
+    prop = WaltonManolopoulosPropagator(Gamma, Gamma, 1e4, 1e4,
+                                        dtype=jnp.float32,
+                                        traj_dtype=jnp.float64)
+    prop.initial_conditions(np.sqrt(2 * S / omega), np.zeros(d), Gamma,
+                            ntraj=300, key=0, potential=pot)
+    prop.propagate(pot, 0.25, 5, check_energy=False)
+    state, params, bc = prop.state, prop.params, prop._bc
+
+    monkeypatch.setattr(wm, "_KERNEL_MODE", "0")
+    sd0 = wm.wm_scan_derived(params, bc, state, pot)
+    monkeypatch.setattr(wm, "_KERNEL_MODE", "force")
+    sd1 = wm.wm_scan_derived(params, bc, state, pot)
+    for f in ("detA", "detM", "gamma", "rqq", "rQQ", "rqQ",
+              "Pq_dq", "PQ_dQ", "kfac"):
+        a = np.asarray(getattr(sd0, f))
+        b = np.asarray(getattr(sd1, f))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+        assert rel < 1e-5, (f, rel)
