@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--ntraj", type=int, default=32768)
     ap.add_argument("--nt", type=int, default=20)
     ap.add_argument("--profile_dir", default="")
+    ap.add_argument("--traj", default="float64",
+                    choices=["float64", "comp32"])
     args = ap.parse_args()
 
     import functools
@@ -61,8 +63,9 @@ def main():
                                                   hk_prefactor_det,
                                                   hk_prefactor_mat)
 
+    traj_dtype = jnp.float64 if args.traj == "float64" else "comp32"
     prop, pot = _as60_setup(ntraj=args.ntraj, dtype=jnp.float32,
-                            traj_dtype=jnp.float64)
+                            traj_dtype=traj_dtype)
     state0, tracker0 = prop.state, prop.trackers["prefactorC"]
     dt = 0.25
 

@@ -51,7 +51,14 @@ class OverlapParams:
     iGij: jnp.ndarray        # (d, d)   pseudo-inverse of Gi+Gj
     Gj_iGij: jnp.ndarray     # (d, d)   Gj [Gi+Gj]^{-1}
     fac: jnp.ndarray         # ()       normalisation prefactor (complex)
-    rank: int
+    # (3, d) stack of the three matrices' diagonals when ALL of them are
+    # exactly diagonal (diagonal widths): the exponent quadratic forms
+    # then collapse to elementwise products + a mode sum, removing three
+    # thin (n, d) @ (d, d) matmuls from the per-step observable path
+    # (K = 60 underfills the MXU — the same finding as the prefactor's
+    # permutation collapse, hk.py HKParams.diag_ka). None otherwise.
+    diag_w: jnp.ndarray | None = None
+    rank: int = 0
 
     @staticmethod
     def create(Gi: np.ndarray, Gj: np.ndarray, dtype=jnp.float64,
@@ -88,11 +95,17 @@ class OverlapParams:
             out_dtype = (jnp.complex128 if dtype == jnp.float64
                          else jnp.complex64)
         cdtype = out_dtype
+        m1, m2, m3 = Gi @ iGij @ Gj, iGij, Gj @ iGij
+        offdiag = max(float(np.abs(m - np.diag(np.diag(m))).max())
+                      for m in (m1, m2, m3))
+        diag_w = (jnp.asarray(np.stack([np.diag(m) for m in (m1, m2, m3)]),
+                              dtype=dtype) if offdiag == 0.0 else None)
         return OverlapParams(
-            Gi_iGij_Gj=jnp.asarray(Gi @ iGij @ Gj, dtype=dtype),
-            iGij=jnp.asarray(iGij, dtype=dtype),
-            Gj_iGij=jnp.asarray(Gj @ iGij, dtype=dtype),
+            Gi_iGij_Gj=jnp.asarray(m1, dtype=dtype),
+            iGij=jnp.asarray(m2, dtype=dtype),
+            Gj_iGij=jnp.asarray(m3, dtype=dtype),
             fac=to_device(fac, cdtype),
+            diag_w=diag_w,
             rank=ranki,
         )
 
@@ -115,6 +128,15 @@ def _overlap_exponent(ov: OverlapParams, dq, dp, pj):
     """
     t = ov.Gi_iGij_Gj.dtype
     dq, dp, pj = dq.astype(t), dp.astype(t), pj.astype(t)
+    if ov.diag_w is not None:
+        # diagonal widths: the three quadratic forms are elementwise
+        # products + a mode sum (see OverlapParams.diag_w)
+        w1, w2, w3 = ov.diag_w[0], ov.diag_w[1], ov.diag_w[2]
+        re_part = (-0.5 * jnp.sum(dq * w1 * dq, axis=-1)
+                   - (0.5 / hbar**2) * jnp.sum(dp * w2 * dp, axis=-1))
+        im_part = (jnp.sum(dq * w3 * dp, axis=-1)
+                   - jnp.sum(pj * dq, axis=-1)) / hbar
+        return re_part, im_part
     re_part = (-0.5 * jnp.einsum("...a,ab,...b->...", dq, ov.Gi_iGij_Gj, dq)
                - (0.5 / hbar**2) * jnp.einsum("...a,ab,...b->...", dp,
                                               ov.iGij, dp))

@@ -128,6 +128,12 @@ class HKParams:
     diag_kb: jnp.ndarray | None = None  # (d,) scale of Lt_s . Ri_s
     diag_kc: jnp.ndarray | None = None  # (d,) scale of Lt_i . Ri_s
     diag_ke: jnp.ndarray | None = None  # (d,) scale of Lt_i . Ri_i
+    # diagonals of R = G0 [Gi+G0]^{-1} Gi (NAC factor) and of the momentum
+    # shift (G0 [Gi+G0]^{-1})^T when those matrices are exactly diagonal —
+    # collapses the last thin per-step (n, d) @ (d, d) contractions of the
+    # observable path. None otherwise.
+    R_diag: jnp.ndarray | None = None
+    shift_diag: jnp.ndarray | None = None
 
     @property
     def cdtype(self):
@@ -233,6 +239,10 @@ def _build_hk_params(Gamma_i, Gamma_t, Gamma_0, q0, p0, U, iGi0, dtype,
             diag_k = {name: jnp.asarray(s, dtype=rdtype)
                       for name, s in zip(("diag_ka", "diag_kb",
                                           "diag_kc", "diag_ke"), scales)}
+    shift = Gamma_0 @ iGi0
+    for name, M in (("R_diag", R), ("shift_diag", shift.T)):
+        if float(np.abs(M - np.diag(np.diag(M))).max()) == 0.0:
+            diag_k[name] = jnp.asarray(np.diag(M), dtype=traj_dtype)
     plane = lambda m: jnp.asarray(m, dtype=rdtype)
     return HKParams(
         Lt_s_re=plane(Lt_s.real), Lt_s_im=plane(Lt_s.imag),
@@ -392,7 +402,10 @@ def _nac_factor(params: HKParams, potential, x, pvec, sign, xc=None):
     if xc is not None and params.q0c is not None:
         dq = dq + (params.q0c - xc)
     dq = dq.astype(t)
-    core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R.astype(t), n1)
+    if params.R_diag is not None:
+        core = n2 + jnp.sum(dq * params.R_diag.astype(t) * n1, axis=1)
+    else:
+        core = n2 + jnp.einsum("na,ab,nb->n", dq, params.R.astype(t), n1)
     core = core.astype(real_dtype(pvec.dtype))
     return core + (sign / hbar) * times_i(
         jnp.einsum("na,na->n", pvec, n1.astype(pvec.dtype)))
@@ -410,6 +423,9 @@ def _shifted_momentum(params: HKParams, p, pc=None):
     if pc is not None and params.p0c is not None:
         dp = dp + (pc - params.p0c)
     dp = dp.astype(t)
+    if params.shift_diag is not None:
+        return (params.p0[None, :].astype(t)
+                + dp * params.shift_diag.astype(t))
     shift = (params.G0 @ params.iGi0).T.astype(t)
     return params.p0[None, :].astype(t) + dp @ shift
 
