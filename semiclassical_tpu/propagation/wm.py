@@ -818,10 +818,19 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
     base = hk_batch_constants(params.hk, qi, pi, log_prob,
                               potential=potential)
     dp0 = _center_minus_initial(params.hk.p0, params.hk.p0c, pi)
-    # eps (eqn. 74 with b0 = 0) and PIq (eqn. 72 with pi_i = p)
-    eps = -(0.5 / hbar**2) * jnp.einsum("na,ab,nb->n", dp0, params.hk.iGi0,
-                                        dp0)
-    PIq = params.hk.p0[None, :] - dp0 @ params.G0iGi0.T
+    # eps (eqn. 74 with b0 = 0) and PIq (eqn. 72 with pi_i = p). The
+    # difference dp0 is formed at trajectory precision above; the (d, d)
+    # contractions run at the OBSERVABLE dtype — the same precision
+    # structure as every other observable quadratic form (hk.py
+    # _build_hk_params docstring). At full f64 these one-time (n, d)
+    # matmuls dominated WM initial_conditions on TPU (74 s of emulated
+    # f64 at 98k trajectories vs ~0.1 s on the MXU; eps/PIq are consumed
+    # at the observable dtype downstream anyway).
+    t = params.Gt.dtype
+    dp0t = dp0.astype(t)
+    eps = -(0.5 / hbar**2) * jnp.einsum(
+        "na,ab,nb->n", dp0t, params.hk.iGi0.astype(t), dp0t)
+    PIq = params.hk.p0[None, :].astype(t) - dp0t @ params.G0iGi0.T.astype(t)
     if potential is None:
         n1q = jnp.zeros_like(qi)
         n2q = jnp.zeros(qi.shape[0], dtype=qi.dtype)
