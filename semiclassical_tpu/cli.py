@@ -88,6 +88,22 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    if args.command == "dynamics":
+        # persistent XLA compile cache: remote/tunneled TPU compiles cost
+        # 30-300 s and re-run on EVERY invocation without it — this is the
+        # difference between an 8 s and a 4 min production run. Users can
+        # point JAX_COMPILATION_CACHE_DIR elsewhere; the jax.config update
+        # must happen before the backend is touched.
+        import jax as _jax
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "semiclassical_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     try:
         if args.command == "dynamics":
             with open(args.json_input) as f:

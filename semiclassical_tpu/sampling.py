@@ -154,8 +154,12 @@ def sampling_statistics(params: SamplingParams, q, p):
                          jnp.asarray(p, dtype=jnp.float64)], axis=1)
     n = z.shape[0]
     mean = jnp.mean(z, axis=0)
-    dz = z - mean[None, :]
-    cov = (dz.T @ dz) / max(n - 1, 1)
+    # the covariance matmul runs f32 on the MXU: the diagnostic's own
+    # statistical floor is sqrt(2/n) (~5e-3 at 98k trajectories) while the
+    # centered f32 product adds ~1e-6 — the f64 form was a ~10 s emulated
+    # matmul at 98k on TPU for a one-time sanity readout
+    dz = (z - mean[None, :]).astype(jnp.float32)
+    cov = (dz.T @ dz).astype(jnp.float64) / max(n - 1, 1)
     iLz = jnp.asarray(params.iLz, dtype=jnp.float64)
     ana_cov = iLz.T @ iLz
     sigma = jnp.sqrt(jnp.diagonal(ana_cov))
