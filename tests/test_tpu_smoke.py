@@ -134,3 +134,32 @@ def test_wm_mixed_step_on_chip():
     cauto, kic = prop.propagate(pot, 0.25, 2, check_energy=False)
     assert abs(cauto[0] - 1.0) < 2e-2  # MC estimate at 2048 trajectories
     assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+
+def test_comp32_wm_step_on_chip():
+    """The production comp32 WM path (per-mode 2x2 fast path + collapsed
+    prefactor/overlap constants + residual-folded displacements) on
+    hardware: C(0) ~ 1 and finite observables."""
+    from semiclassical_tpu.potentials import MorsePotential
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+
+    rng = np.random.default_rng(42)
+    d = 60
+    omega = rng.uniform(200.0, 3000.0, size=d) / 219474.63
+    S = rng.uniform(0.01, 0.3, size=d)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    pot = MorsePotential.create(omega, np.full(d, 0.02), nac,
+                                dtype=jnp.float32)
+    dQ = np.sqrt(2.0 * S / omega)
+    Gamma = np.diag(omega)
+    prop = WaltonManolopoulosPropagator(Gamma, Gamma, 10000.0, 10000.0,
+                                        dtype=jnp.float32,
+                                        traj_dtype="comp32")
+    prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=2048, key=0,
+                            potential=pot)
+    assert prop.state.compensated and prop.state.diag_monodromy
+    assert prop.params.hk.diag_ka is not None      # collapsed prefactor
+    assert prop.params.hk.csot0.diag_w is not None  # collapsed overlaps
+    cauto, kic = prop.propagate(pot, 0.25, 5, check_energy=False)
+    assert abs(cauto[0] - 1.0) < 2e-2
+    assert np.isfinite(cauto).all() and np.isfinite(kic).all()
