@@ -99,10 +99,18 @@ def main(argv=None):
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache",
                          "semiclassical_tpu", "jax"))
-        os.makedirs(cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", cache_dir)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+        except OSError as exc:
+            # read-only home etc. — degrade to uncached compiles rather
+            # than refusing to run
+            logger.warning(f"compile cache disabled ({exc})")
+        else:
+            _jax.config.update("jax_compilation_cache_dir", cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0)
 
     try:
         if args.command == "dynamics":

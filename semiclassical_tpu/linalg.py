@@ -119,12 +119,33 @@ def batched_mode_product(z_re, z_im, cdtype):
     else:
         ibits, mant, bias = jnp.int32, 23, 127
     m2 = z_re * z_re + z_im * z_im
+    # |z|^2 spans TWICE the exponent range of z: factors whose |z|^2
+    # underflows (subnormal/zero, exponent field 0) or overflows (inf,
+    # exponent field all-ones) would mis-normalise. Pre-scale those rows
+    # by the exact power 2^{-+(bias-1)} and fold the shift into j — the
+    # whole representable |z| range then normalises correctly (exact
+    # zeros stay zero and zero the product, matching the log-space
+    # form's -inf).
+    pre = bias - 1                                 # even for f32 and f64
+    field = (jax.lax.bitcast_convert_type(m2, ibits) >> mant)
+    tiny = field == 0
+    big = field == (2 * bias + 1)
+    pscale = jnp.asarray(2.0, m2.dtype) ** pre
+    adj = jnp.where(tiny, pscale, jnp.where(big, 1.0 / pscale, 1.0))
+    zr0 = z_re * adj
+    zi0 = z_im * adj
+    m2 = zr0 * zr0 + zi0 * zi0
     k = (jax.lax.bitcast_convert_type(m2, ibits) >> mant) - bias
-    j = k >> 1                                     # floor(exponent/2)
+    # z = z_norm * 2^j: j = floor(k/2), shifted by the full pre-scale for
+    # the adjusted rows (the 2^{-+pre} sits inside z_norm's normalisation)
+    j = (k >> 1) - jnp.where(tiny, pre, 0) + jnp.where(big, pre, 0)
+    # clamp so the constructed exponent field stays legal (only the exact-
+    # zero rows hit the clamp, and any finite scale is correct for z = 0)
+    js = jnp.clip((k >> 1), -(bias - 1), bias - 1)
     scale = jax.lax.bitcast_convert_type(
-        (jnp.asarray(bias, ibits) - j) << mant, m2.dtype)
-    zr = z_re * scale
-    zi = z_im * scale
+        (jnp.asarray(bias, ibits) - js) << mant, m2.dtype)
+    zr = zr0 * scale
+    zi = zi0 * scale
     sj = jnp.sum(j, axis=1)                        # (n,) int
 
     n, d = z_re.shape

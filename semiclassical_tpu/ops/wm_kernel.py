@@ -66,12 +66,21 @@ _CONSTS = ("u1", "u2", "gt", "cb11", "cb12_im", "cb22",
            "fq1", "fq2_im", "bq1", "bq2_im", "g0", "p0")
 
 # scalar-output sublane map: 13 gram entries (re, im interleaved) + 4 reals
-_GRAM_PAIRS = ((0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
-               (1, 2), (1, 3), (1, 4),
-               (2, 2), (2, 3), (2, 4),
-               (3, 4), (4, 4))
-N_SCAL_LANES = 2 * len(_GRAM_PAIRS) + 4  # 30
+GRAM_PAIRS = ((0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
+              (1, 2), (1, 3), (1, 4),
+              (2, 2), (2, 3), (2, 4),
+              (3, 4), (4, 4))
+_GRAM_PAIRS = GRAM_PAIRS  # backwards-compatible alias
+_EXTRA_ROWS = ("g_DD", "g_Dn", "p0_dQ", "p0_n")
+N_SCAL_LANES = 2 * len(GRAM_PAIRS) + len(_EXTRA_ROWS)  # 30
 _NSCAL = 32  # padded to a full sublane tile
+
+
+def scal_row(name: str) -> int:
+    """Row index of a named extra quantity in the scal output (the gram
+    rows are 2*i / 2*i+1 for GRAM_PAIRS[i]) — consumers must derive
+    indices here instead of hardcoding them against GRAM_PAIRS' length."""
+    return 2 * len(GRAM_PAIRS) + _EXTRA_ROWS.index(name)
 
 
 def wm_diag_kernel_available(dtype, d):
@@ -270,9 +279,12 @@ def pallas_wm_diag_derived(Mqq, Mqp, Mpq, Mpp, dQ, dp, dq, n1q, n1Q, v0c,
     displacements, NAC vectors, the constant ig0i*dp0 product);
     `const_pack` is the (17, d) row stack from `build_const_pack`.
 
-    Returns (scal, det_planes): scal (n, 30) f32 with the lane map
-    [13 x (gram re, gram im), g_DD, g_Dn, p0_dQ, p0_n]; det_planes
-    (n, 4, d) f32 = [det_i re, det_i im, Mps re, Mps im].
+    Returns (scal, det_planes) with TRAJECTORIES IN THE LAST AXIS:
+    scal (32, n) f32, rows 0..2*len(GRAM_PAIRS)-1 = the gram entries as
+    interleaved (re, im) pairs in GRAM_PAIRS order, then the rows
+    [g_DD, g_Dn, p0_dQ, p0_n] (the remainder is sublane padding — use
+    `scal_row` to index by name); det_planes (4, d, n) f32 =
+    [det_i re, det_i im, Mps re, Mps im] mode-major.
 
     `_force` runs interpret mode off-TPU (tests).
     """

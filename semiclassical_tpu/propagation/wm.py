@@ -598,11 +598,11 @@ def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
         detM = _logspace_prod(planes[2], planes[3], cdtype, axis=0)
         gram = {pair: lax.complex(scal[2 * i], scal[2 * i + 1]
                                   ).astype(cdtype)
-                for i, pair in enumerate(wm_kernel._GRAM_PAIRS)}
-        g_DD = scal[26].astype(cdtype)
-        g_Dn = scal[27].astype(cdtype)
-        p0_dQ = scal[28].astype(cdtype)
-        p0_n = scal[29].astype(cdtype)
+                for i, pair in enumerate(wm_kernel.GRAM_PAIRS)}
+        g_DD = scal[wm_kernel.scal_row("g_DD")].astype(cdtype)
+        g_Dn = scal[wm_kernel.scal_row("g_Dn")].astype(cdtype)
+        p0_dQ = scal[wm_kernel.scal_row("p0_dQ")].astype(cdtype)
+        p0_n = scal[wm_kernel.scal_row("p0_n")].astype(cdtype)
     else:
         detA, detM, y1, y2, iM = _wm_diag_core(params, state)
 
@@ -836,8 +836,7 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
         n2q = jnp.zeros(qi.shape[0], dtype=qi.dtype)
     else:
         n1q, n2q = _nac_terms(potential, qi)
-    t = params.Gt.dtype
-    v0 = (dp0.astype(t) @ params.hk.iGi0.astype(t))           # (n, d)
+    v0 = (dp0t @ params.hk.iGi0.astype(t))                    # (n, d)
     z0 = jnp.einsum("ia,ni->na", params.BqUb, v0)             # (n, 2r)
     return WMBatchConstants(base=base, eps=eps, PIq=PIq, n1q=n1q, n2q=n2q,
                             z0=z0)

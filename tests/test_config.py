@@ -79,3 +79,26 @@ def test_unknown_key_warns(caplog):
         validate_task(_dyn_task(num_trajectoriess=100))
     assert "num_trajectoriess" in caplog.text
     assert "num_trajectories" in caplog.text  # close-match hint
+
+
+def test_example_configs_validate():
+    """Every committed example config must pass schema validation — keeps
+    the documented production commands from drifting out of sync with
+    config.py (a key rename that misses an example would otherwise only
+    surface on a user's machine)."""
+    import glob
+    import json
+    import os
+
+    from semiclassical_tpu.config import validate_task
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    files = sorted(glob.glob(os.path.join(root, "**", "semi*.json"),
+                             recursive=True))
+    assert files, "no example configs found"
+    for fn in files:
+        with open(fn) as f:
+            cfg = json.load(f)
+        assert "semi" in cfg, fn
+        for task in cfg["semi"]:
+            validate_task(task)

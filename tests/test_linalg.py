@@ -166,3 +166,18 @@ def test_batched_mode_product():
         got = np.asarray(batched_mode_product(jnp.asarray(zr),
                                               jnp.asarray(zi), cd))
         assert (got == 0).all()
+
+    # factors whose |z|^2 under/overflows the dtype (|z| = 1e+-30 in f32:
+    # |z|^2 = 1e+-60 is 0.0/inf) while the PRODUCT is representable — the
+    # exponent pre-scaling must recover the exact result
+    ang = np.array([[0.3] * 4 + [-0.2] * 4], dtype=np.float32)
+    mag = np.array([[1e-30] * 4 + [1e30] * 4], dtype=np.float32)
+    zr = (mag * np.cos(ang)).astype(np.float32)
+    zi = (mag * np.sin(ang)).astype(np.float32)
+    got = np.asarray(batched_mode_product(jnp.asarray(zr),
+                                          jnp.asarray(zi), jnp.complex64))
+    assert abs(got[0] - np.exp(0.4j)) < 1e-6, got
+    zr64 = np.array([[1e-200] * 3 + [1e200] * 3], dtype=np.float64)
+    got = np.asarray(batched_mode_product(
+        jnp.asarray(zr64), jnp.asarray(np.zeros_like(zr64)), jnp.complex128))
+    assert abs(got[0] - 1.0) < 1e-13, got
