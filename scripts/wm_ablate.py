@@ -56,6 +56,9 @@ def main():
     nac = rng.uniform(-1.0, 1.0, size=d)
     chi = np.full(d, 0.02)
     pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float64)
+    # match the CLI's mixed-mode cast — without it rk4's PES runs emulated
+    # f64 (~57 ms of phantom cost at 524k; CLAUDE.md WM bench rule)
+    pot = jax.tree.map(lambda x: x.astype(jnp.float32), pot)
     dQ = np.sqrt(2.0 * S / omega)
     Gamma = np.diag(omega)
 

@@ -107,10 +107,24 @@ def load_propagator_state(filename, propagator):
         new_leaves = []
         for path, leaf in flat:
             key = prefix + "/".join(str(p) for p in path)
+            if key not in data:
+                raise ValueError(
+                    f"checkpoint is missing '{key}': it was written by a "
+                    "propagator with a different numerical mode or state "
+                    "representation (e.g. a pre-comp32 run resumed with "
+                    "the comp32 default, or a dense-monodromy checkpoint "
+                    "resumed on the diagonal fast path). Resume with the "
+                    "original --precision, or delete the checkpoint to "
+                    "restart the repetition.")
             arr = data[key]
-            assert arr.shape == leaf.shape, (
-                f"checkpoint shape mismatch for {key}: "
-                f"{arr.shape} vs {leaf.shape}")
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"checkpoint shape mismatch for {key}: {arr.shape} vs "
+                    f"{leaf.shape} — the checkpoint was written with a "
+                    "different state representation (monodromy layout, "
+                    "batch size, or precision mode). Resume with the "
+                    "original configuration, or delete the checkpoint to "
+                    "restart the repetition.")
             # to_device ships complex leaves as two real arrays and
             # recombines them on device (TPU contract, see linalg.py)
             new_leaves.append(to_device(arr, leaf.dtype,

@@ -349,6 +349,20 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             precision = "comp32"
         else:
             precision = "mixed"
+    if (task["potential"]["type"] == "gdml"
+            and precision in ("comp32", "f32")):
+        # sGDML KRR is cancellation-bound (the permutation-expanded alphas
+        # reach ~1e11): its energies/gradients require the f64 path, and
+        # reduced-precision TRAJECTORIES feeding the descriptors are an
+        # unvalidated configuration (BASELINE.md "f32 E/grad measured
+        # dead"; the safe reduced-precision knob is the potential's
+        # hess_dtype keyword)
+        logger.warning(
+            f"--precision {precision} with a gdml potential is "
+            "unvalidated: sGDML regression sums are cancellation-bound "
+            "and were measured to need f64 energies/gradients — use "
+            "'mixed' (default) and the potential's hess_dtype keyword "
+            "for the validated reduced-precision mode")
     logger.info(f"  numerical precision                       : {precision}")
     if precision == "mixed":
         dtype, traj_dtype = jnp.float32, jnp.float64

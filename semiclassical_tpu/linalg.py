@@ -648,7 +648,6 @@ def _det_solve_lanes_blocks(A11, A12, A21, A22, B1, B2):
         det2, Y2 = S^{-1} rhs2                   (recurse)
         Y1 = t - G Y2                            (one batched matmul)
     """
-    m1 = A11.shape[-1]
     det1, Gt_ = _det_solve_lanes(
         A11, jnp.concatenate([A12, B1], axis=-1))
     G = Gt_[..., :A12.shape[-1]]

@@ -551,6 +551,11 @@ def _wm_diag_core(params: WMParams, state: TrajState):
     return detA, detM, y1, y2, iM
 
 
+# module-level wrapper: a fresh jax.jit(...) per call would rebuild the
+# trace cache every repetition (_make_trackers runs once per batch)
+_wm_diag_core_jit = jax.jit(_wm_diag_core)
+
+
 def _wm_scan_derived_diag(params: WMParams, bc: WMBatchConstants,
                           state: TrajState, potential) -> WMScanDerived:
     """Per-mode 2x2 evaluation of `wm_scan_derived` (see WMDiagConsts).
@@ -1176,7 +1181,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             # per-mode core only — the full-tensor wm_derived materialises
             # (n, d, d) complex tensors, which would cap the batch size the
             # diag scan path exists to lift
-            detA, detM, _, _, _ = jax.jit(_wm_diag_core)(self.params, state)
+            detA, detM, _, _, _ = _wm_diag_core_jit(self.params, state)
         else:
             derived = wm_derived(self.params, self._bc, state)
             detA, detM = derived.detA, derived.detM

@@ -172,7 +172,10 @@ def sampling_statistics(params: SamplingParams, q, p):
     cov_dev = jnp.max(
         jnp.where(pair_live, jnp.abs(cov - ana_cov), 0.0)
         / (scale[:, None] * scale[None, :]))
-    return float(mean_dev), float(cov_dev)
+    # one host fetch for both scalars (each float() is a separate blocking
+    # round-trip on tunneled backends)
+    both = np.asarray(jnp.stack([mean_dev, cov_dev]))
+    return float(both[0]), float(both[1])
 
 
 def log_sampling_statistics(params: SamplingParams, q, p):
