@@ -137,6 +137,9 @@ def load_propagator_state(filename, propagator):
     propagator._bc = restore("bc", propagator._bc)
     propagator._bc_has_nacq = True
     propagator.t = float(data["meta/t"])
+    # exact-integrator constants are derived from the state; the restored
+    # state invalidates any cached pack (it is rebuilt at the next scan)
+    propagator._integ_invalidate()
     partial = {}
     for key in data.files:
         if key.startswith("partial/"):

@@ -292,6 +292,15 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     propagator_name = task.get("propagator", "HK")
     logger.info(f"  propagator                                : "
                 f"{propagator_name}")
+    # "exact" selects the closed-form Morse propagation map (zero
+    # time-discretization error; separable Morse PES with bound orbits
+    # only — propagation/exact_morse.py); "rk4" matches the reference
+    # trajectory-for-trajectory.
+    integrator = task.get("integrator", "rk4")
+    if integrator not in ("rk4", "exact"):
+        raise ValueError(f"unknown integrator {integrator!r} "
+                         "(expected 'rk4' or 'exact')")
+    logger.info(f"  integrator                                : {integrator}")
 
     devices = jax.devices()
     if num_devices > 0:
@@ -414,10 +423,11 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             alpha = task.get("cell_width", 10000.0)
             propagator = WaltonManolopoulosPropagator(
                 Gamma_i, Gamma_t, alpha, alpha, dtype=dtype,
-                traj_dtype=traj_dtype)
+                traj_dtype=traj_dtype, integrator=integrator)
         else:
             propagator = HermanKlukPropagator(Gamma_i, Gamma_t, dtype=dtype,
-                                              traj_dtype=traj_dtype)
+                                              traj_dtype=traj_dtype,
+                                              integrator=integrator)
 
         propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
                                       key=rep_keys[repetition],

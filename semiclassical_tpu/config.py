@@ -49,6 +49,7 @@ _DYNAMICS_SCHEMA = {
     "num_steps": int,
     "time_step_fs": (int, float),
     "cell_width": (int, float),   # WM alpha = beta
+    "integrator": str,            # "rk4" | "exact" (closed-form Morse map)
     "results": dict,
     "manual_seed": int,
     "calc_norm_every": int,

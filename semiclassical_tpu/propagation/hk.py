@@ -43,6 +43,9 @@ from semiclassical_tpu.coherent import (
     wavefunction,
 )
 from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.exact_morse import (
+    build_morse_map, morse_map_advance, morse_map_state,
+    supports_exact_morse)
 from semiclassical_tpu.propagation.state import SignTracker, TrajState
 from semiclassical_tpu.pytree import pytree_dataclass, replace
 from semiclassical_tpu.sampling import SamplingParams, sample_initial_conditions
@@ -573,7 +576,32 @@ def check_energy_conservation(energies, change_tol=1.0e-2):
 # scan driver
 # ---------------------------------------------------------------------------
 
-def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt):
+def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
+             integ=None):
+    if integ is not None:
+        # exact-Morse integrator: the scan carries only the phase pack
+        # (th + residual + t_rel); the full TrajState is materialised
+        # fresh each step from closed-form constants (no accumulating
+        # trajectory error, 4x less carry HBM traffic than the comp32
+        # RK4 state) — see propagation/exact_morse.py.
+        pack, mcarry0 = integ
+        mono = state0.Mqq.dtype
+
+        def body(carry, _):
+            tracker, mcarry = carry
+            state, en = morse_map_state(pack, mcarry, mono, potential)
+            c2 = hk_prefactor_det(params, state)
+            tracker = tracker.update(c2)
+            c = jnp.sqrt(c2) * tracker.signs
+            cauto, kic = hk_observables(params, bc, state, c, potential)
+            mcarry = morse_map_advance(pack, mcarry, dt, potential)
+            return (tracker, mcarry), (cauto, kic, en)
+
+        (tracker, mcarry), outs = lax.scan(body, (tracker0, mcarry0), None,
+                                           length=nt)
+        state_fin, _ = morse_map_state(pack, mcarry, mono, potential)
+        return (state_fin, tracker, t0 + nt * dt, mcarry), outs
+
     def body(carry, _):
         state, tracker, t = carry
         c2 = hk_prefactor_det(params, state)
@@ -583,7 +611,9 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt):
         new_state, en = rk4_step(state, potential, dt)
         return (new_state, tracker, t + dt), (cauto, kic, en)
 
-    return lax.scan(body, (state0, tracker0, t0), None, length=nt)
+    (state, tracker, t), outs = lax.scan(body, (state0, tracker0, t0), None,
+                                         length=nt)
+    return (state, tracker, t, None), outs
 
 
 _hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt",))
@@ -602,7 +632,8 @@ class HermanKlukPropagator:
     jitted scan.
     """
 
-    def __init__(self, Gamma_i, Gamma_t, dtype=jnp.float64, traj_dtype=None):
+    def __init__(self, Gamma_i, Gamma_t, dtype=jnp.float64, traj_dtype=None,
+                 integrator="rk4"):
         """
         Parameters
         ----------
@@ -614,7 +645,19 @@ class HermanKlukPropagator:
             the recommended TPU configuration: full-precision classical
             dynamics with the monodromy matmuls and complex determinant in
             f32/c64 (complex128 is unsupported on TPU backends).
+        integrator : "rk4" (fixed-step Runge-Kutta, matches the reference
+            trajectory-for-trajectory) or "exact" (the closed-form Morse
+            propagation map — zero time-discretization error; requires a
+            non-harmonic separable MorsePotential with bound orbits, see
+            propagation/exact_morse.py).
         """
+        if integrator not in ("rk4", "exact"):
+            raise ValueError(f"unknown integrator {integrator!r} "
+                             "(expected 'rk4' or 'exact')")
+        self.integrator = integrator
+        self._integ_pack = None
+        self._integ_carry = None
+        self._integ_dt = None
         Gamma_i = np.asarray(Gamma_i, dtype=np.float64)
         Gamma_t = np.asarray(Gamma_t, dtype=np.float64)
         assert linalg.is_symmetric_non_negative(Gamma_i), (
@@ -656,19 +699,49 @@ class HermanKlukPropagator:
         c2 = hk_prefactor_det(self.params, state)
         return {"prefactorC": SignTracker.fresh(c2)}
 
+    def _integ(self, potential, dt):
+        """Resolve the integrator for this scan: None selects RK4; for the
+        exact Morse map, build (or reuse) the constant pack and the carried
+        phase.  The pack is tied to (batch, potential, dt): a dt change
+        rebuilds it from the current state (the map is exact, so re-setup
+        introduces no stepping error)."""
+        if self.integrator != "exact":
+            return None
+        if (self._integ_pack is None or self._integ_carry is None
+                or self._integ_dt != float(dt)):
+            if not supports_exact_morse(potential, self.state):
+                raise ValueError(
+                    "integrator='exact' requires a non-harmonic separable "
+                    "MorsePotential (diagonal-monodromy state); use "
+                    "integrator='rk4' for this potential")
+            self._integ_pack, self._integ_carry = build_morse_map(
+                self.state, potential, dt)
+            self._integ_dt = float(dt)
+        return (self._integ_pack, self._integ_carry)
+
+    def _integ_invalidate(self):
+        """Drop the cached exact-map pack/carry (the state was replaced
+        from outside the scan — new batch or checkpoint restore)."""
+        self._integ_pack = None
+        self._integ_carry = None
+        self._integ_dt = None
+
     def _scan(self, potential, dt, nt):
         return _hk_scan_jit(
             self.params, self._bc, potential, self.state,
             self.trackers["prefactorC"],
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
+            self._integ(potential, dt),
         )
 
     def _store_scan_carry(self, carry):
-        state, tracker, t = carry
+        state, tracker, t, mcarry = carry
         self.state = state
         self.trackers["prefactorC"] = tracker
         self.t = float(t)
+        if mcarry is not None:
+            self._integ_carry = mcarry
 
     # -- setup ---------------------------------------------------------------
 
@@ -746,6 +819,7 @@ class HermanKlukPropagator:
         self._bc_has_nacq = potential is not None
         self.trackers = self._make_trackers(self.state)
         self.t = 0.0
+        self._integ_invalidate()
 
     def _make_batch_constants(self, qi, pi, prob, potential):
         return hk_batch_constants(self.params, qi, pi, prob,

@@ -39,6 +39,8 @@ from semiclassical_tpu.coherent import complex_exp
 from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
                                       times_i, to_device)
 from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.exact_morse import (morse_map_advance,
+                                                       morse_map_state)
 from semiclassical_tpu.propagation.hk import (
     BatchConstants,
     HKParams,
@@ -1112,7 +1114,32 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
 # scan driver
 # ---------------------------------------------------------------------------
 
-def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt):
+def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
+             integ=None):
+    if integ is not None:
+        # exact-Morse integrator — see _hk_scan and propagation/exact_morse
+        pack, mcarry0 = integ
+        mono = state0.Mqq.dtype
+
+        def body(carry, _):
+            (tr_c, tr_A, tr_M), mcarry = carry
+            state, en = morse_map_state(pack, mcarry, mono, potential)
+            c2 = hk_prefactor_det(params.hk, state)
+            tr_c = tr_c.update(c2)
+            c = jnp.sqrt(c2) * tr_c.signs
+            sd = wm_scan_derived(params, bc, state, potential)
+            tr_A = tr_A.update(sd.detA)
+            tr_M = tr_M.update(sd.detM)
+            cauto, kic = wm_scan_observables(params, bc, state, sd, c,
+                                             tr_A.signs, tr_M.signs)
+            mcarry = morse_map_advance(pack, mcarry, dt, potential)
+            return ((tr_c, tr_A, tr_M), mcarry), (cauto, kic, en)
+
+        (trackers, mcarry), outs = lax.scan(body, (trackers0, mcarry0),
+                                            None, length=nt)
+        state_fin, _ = morse_map_state(pack, mcarry, mono, potential)
+        return (state_fin, trackers, t0 + nt * dt, mcarry), outs
+
     def body(carry, _):
         state, (tr_c, tr_A, tr_M), t = carry
         c2 = hk_prefactor_det(params.hk, state)
@@ -1126,7 +1153,9 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt):
         new_state, en = rk4_step(state, potential, dt)
         return (new_state, (tr_c, tr_A, tr_M), t + dt), (cauto, kic, en)
 
-    return lax.scan(body, (state0, trackers0, t0), None, length=nt)
+    (state, trackers, t), outs = lax.scan(body, (state0, trackers0, t0),
+                                          None, length=nt)
+    return (state, trackers, t, None), outs
 
 
 _wm_scan_jit = jax.jit(_wm_scan, static_argnames=("nt",))
@@ -1150,8 +1179,9 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
     """
 
     def __init__(self, Gamma_i, Gamma_t, alpha, beta, dtype=jnp.float64,
-                 traj_dtype=None):
-        super().__init__(Gamma_i, Gamma_t, dtype=dtype, traj_dtype=traj_dtype)
+                 traj_dtype=None, integrator="rk4"):
+        super().__init__(Gamma_i, Gamma_t, dtype=dtype, traj_dtype=traj_dtype,
+                         integrator=integrator)
         self.alpha = float(alpha)
         self.beta = float(beta)
 
@@ -1198,13 +1228,16 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             self.params, self._bc, potential, self.state, trackers0,
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
+            self._integ(potential, dt),
         )
 
     def _store_scan_carry(self, carry):
-        state, (tr_c, tr_A, tr_M), t = carry
+        state, (tr_c, tr_A, tr_M), t, mcarry = carry
         self.state = state
         self.trackers = {"prefactorC": tr_c, "detA": tr_A, "detM": tr_M}
         self.t = float(t)
+        if mcarry is not None:
+            self._integ_carry = mcarry
 
     # -- granular API ---------------------------------------------------------
 
