@@ -34,10 +34,24 @@ TPU-first structure
   (sincos, log, arctan) and ~60 flops — vs RK4's 4 PES exponentials plus
   the stage chains and monodromy row maps.
 
+Measured cost/benefit (v5e, 524k x 60, comp32, equal dt): the exact body
+is 8.8 ms/step vs RK4's 7.5 — BOTH are VPU-elementwise-flop-bound and
+the map's transcendentals roughly trade against the PES/stage flops it
+removes, so at equal dt it is ~1.2x slower, NOT faster.  What it buys is
+physics: zero time-discretization error at ANY dt (a 16x-coarser
+observable grid reproduces the fine-grid C(t) to 1e-9 — RK4's O(dt^4)
+phase error is ~0.3 rad there), exact energy conservation, and
+non-accumulating trajectory error over arbitrarily long horizons.  Use
+it for coarse-grid / long-horizon runs; keep RK4 for per-step-observable
+throughput.  The comp32 twin-gap vs RK4 measures 6.4e-4 — flat in time,
+present at t=0, and traced to f32 exponent-cancellation noise on
+extreme-tail Monte-Carlo rows (fused exponents are sums of +-O(100)
+log-weights; ANY regrouping of that arithmetic perturbs exp() at
+ulp-level), i.e. sampling-noise-floor territory (MC error at 524k is
+1.4e-3), not integrator error; the f64 twin-gap is 2.2e-12.
+
 Setup runs once per batch in float64 (emulated on TPU — negligible
-one-time cost); the per-step map runs at the trajectory dtype.  Orbits
-with eps >= 1 are unbound (no periodic closed form) — `build_morse_map`
-fails loudly and the caller should fall back to the RK4 integrator.
+one-time cost); the per-step map runs at the trajectory dtype.
 """
 
 from __future__ import annotations
@@ -135,13 +149,15 @@ class MorseMapPack:
     m0qp: jnp.ndarray | None = None
     m0pq: jnp.ndarray | None = None
     m0pp: jnp.ndarray | None = None
-    # RK4 side-channel row indices (padded with n = OOB-drop); None when
-    # every trajectory is bound
+    # RK4 side-channel row indices (padded with n = OOB-drop) and the
+    # (n,) routed-row mask; None when every trajectory is bound
     sub_idx: jnp.ndarray | None = None
+    row_bad: jnp.ndarray | None = None
     compose_m0: bool = False
     compensated: bool = False   # emit qc/pc = 0 residual leaves
     wdtype_name: str = "float32"
     has_sub: bool = False
+    n_bad: int = 0              # static: real (non-pad) sub rows
 
     @property
     def wdtype(self):
@@ -160,6 +176,9 @@ class MorseMapCarry:
     thc: jnp.ndarray   # (n, d) work dtype
     t_rel: jnp.ndarray  # () f64
     sub: TrajState | None = None
+    # the propagator's sign trackers for the side-channel's own observable
+    # pipeline (HK: one, WM: three) — attached by the propagator
+    sub_trackers: tuple = ()
 
 
 def supports_exact_morse(potential, state) -> bool:
@@ -175,10 +194,23 @@ def supports_exact_morse(potential, state) -> bool:
 
 def _setup_f64(q, p, S0, a, D, dt):
     """f64 setup math (jitted; one-time per batch).  Returns the pack
-    leaves still at f64 plus diagnostics (eps)."""
+    leaves still at f64 plus the routing diagnostics (eps_raw).
+
+    Elements with eps_raw > EPS_EXACT (their whole trajectory is diverted
+    to the RK4 side-channel) are REPLACED by the rest state (q = p = 0)
+    before any constant is derived: every closed-form row then carries
+    finite, well-conditioned values (the rest state is the exact harmonic
+    limit s -> 0), and the diverted rows' zero contribution to the
+    observables is enforced via their -inf log-weights — never through
+    NaN arithmetic."""
     a = a[None, :]
     D = D[None, :]
     w0 = a * jnp.sqrt(2.0 * D)
+    em_raw = jnp.expm1(-a * q)
+    eps_raw = (0.5 * p * p + D * em_raw * em_raw) / D
+    bad_elem = ~(eps_raw <= EPS_EXACT)        # catches NaN/inf too
+    q = jnp.where(bad_elem, 0.0, q)
+    p = jnp.where(bad_elem, 0.0, p)
     em = jnp.expm1(-a * q)                    # ex - 1
     V = D * em * em                           # D (1 - ex)^2
     E = 0.5 * p * p + V                       # (n, d) per-mode energies
@@ -226,7 +258,7 @@ def _setup_f64(q, p, S0, a, D, dt):
         beta=beta, pc2=pc2, wdt=wE * dt,
         th0=th0, A=A, S_base=S_base, e_row=e_row,
     )
-    return consts, eps
+    return consts, eps_raw
 
 
 _setup_f64_jit = jax.jit(_setup_f64)
@@ -281,12 +313,14 @@ def build_morse_map(state: TrajState, potential, dt):
         take = lambda arr: (None if arr is None else
                             jnp.take(arr, sub_idx, axis=0, mode="fill",
                                      fill_value=0))
-        # pad rows become (q=0, p=0, M=0, S=0): a rest state whose RK4
-        # step is exactly zero work and zero energy
+        # pad rows become the rest state (q = p = 0, M = identity, S = 0):
+        # a valid Morse trajectory whose step is exact and whose
+        # observable contribution is masked to zero via -inf log-weights
+        ident = lambda arr: arr.at[n_bad:].set(1.0)
         sub0 = TrajState(q=take(state.q), p=take(state.p),
                          qc=take(state.qc), pc=take(state.pc),
-                         Mqq=take(state.Mqq), Mqp=take(state.Mqp),
-                         Mpq=take(state.Mpq), Mpp=take(state.Mpp),
+                         Mqq=ident(take(state.Mqq)), Mqp=take(state.Mqp),
+                         Mpq=take(state.Mpq), Mpp=ident(take(state.Mpp)),
                          S=take(state.S))
         logger.info("exact Morse map: %d/%d rows RK4-routed "
                     "(eps > %s)", n_bad, n, EPS_EXACT)
@@ -320,10 +354,12 @@ def build_morse_map(state: TrajState, potential, dt):
         m0pq=state.Mpq if compose else None,
         m0pp=state.Mpp if compose else None,
         sub_idx=sub_idx,
+        row_bad=jnp.asarray(bad_row) if n_bad else None,
         compose_m0=compose,
         compensated=state.compensated,
         wdtype_name=jnp.dtype(wdtype).name,
         has_sub=n_bad > 0,
+        n_bad=n_bad,
     )
     carry = MorseMapCarry(th=th_hi, thc=th_lo,
                           t_rel=jnp.zeros((), dtype=jnp.float64),
@@ -397,23 +433,14 @@ def morse_map_state(pack: MorseMapPack, carry: MorseMapCarry,
     n = q.shape[0]
     en = pack.e_bound_sum
     if pack.has_sub:
-        # overwrite the (NaN) closed-form rows of RK4-routed trajectories
-        # with the side-channel state; pad indices (= n) drop out of bounds
+        # energy of the RK4 side-channel rows — the routed rows' closed-
+        # form columns are zeroed rest states contributing 0 to
+        # e_bound_sum, and the sub pad rows are rest states contributing
+        # exactly 0 here.  (The sub STATE is NOT merged per step — TPU
+        # scatters cost ~4.6 ms per (n, d) array; the side-channel runs
+        # its own observable pipeline and merges once per scan, see
+        # morse_map_merge.)
         sub = carry.sub
-        put = lambda dst, src: dst.at[pack.sub_idx].set(
-            src.astype(dst.dtype), mode="drop")
-        q = put(q, sub.q)
-        p = put(p, sub.p)
-        if pack.compensated:
-            qc = put(qc, sub.qc)
-            pc = put(pc, sub.pc)
-        mqq = put(mqq, sub.Mqq)
-        mqp = put(mqp, sub.Mqp)
-        mpq = put(mpq, sub.Mpq)
-        mpp = put(mpp, sub.Mpp)
-        S = put(S, sub.S)
-        # energy of the sub rows (pad rows are the zero rest state and
-        # contribute exactly 0)
         vpot, _, _ = potential.local_expansion(sub.q)
         tkin = 0.5 * jnp.sum(sub.p.astype(w) ** 2, axis=1)
         en = en + jnp.sum(tkin.astype(jnp.float64)
@@ -423,6 +450,51 @@ def morse_map_state(pack: MorseMapPack, carry: MorseMapCarry,
     state = TrajState(q=q, p=p, qc=qc, pc=pc,
                       Mqq=mqq, Mqp=mqp, Mpq=mpq, Mpp=mpp, S=S)
     return state, en
+
+
+def gather_tracker(tracker, sub_idx):
+    """Side-channel view of a SignTracker: the routed rows' branch-cut
+    state rides the main tracker between scans (it is what checkpoints
+    save), so the sub pipeline starts from the authoritative signs.  Pad
+    rows get (previous=1, sign=1) — benign."""
+    from semiclassical_tpu.propagation.state import SignTracker
+
+    take = lambda a, fill: jnp.take(a, sub_idx, axis=0, mode="fill",
+                                    fill_value=fill)
+    return SignTracker(previous=take(tracker.previous, 1.0),
+                       signs=take(tracker.signs, 1.0))
+
+
+def merge_tracker(main, sub_tracker, sub_idx):
+    """Scatter the side-channel tracker rows back into the main tracker
+    (once per scan): the stored/checkpointed tracker then carries the
+    true branch-cut state for every trajectory."""
+    from semiclassical_tpu.propagation.state import SignTracker
+
+    put = lambda dst, src: dst.at[sub_idx].set(src.astype(dst.dtype),
+                                               mode="drop")
+    return SignTracker(previous=put(main.previous, sub_tracker.previous),
+                       signs=put(main.signs, sub_tracker.signs))
+
+
+def morse_map_merge(pack: MorseMapPack, carry: MorseMapCarry,
+                    state: TrajState) -> TrajState:
+    """Scatter the RK4 side-channel rows over their (rest-state
+    placeholder) closed-form rows — called ONCE per scan to produce the
+    stored/checkpointed state, never inside the step loop (TPU scatter
+    cost).  Pad indices (= n) drop out of bounds."""
+    if not pack.has_sub:
+        return state
+    sub = carry.sub
+    put = lambda dst, src: (None if dst is None else dst.at[pack.sub_idx]
+                            .set(src.astype(dst.dtype), mode="drop"))
+    return TrajState(
+        q=put(state.q, sub.q), p=put(state.p, sub.p),
+        qc=put(state.qc, sub.qc), pc=put(state.pc, sub.pc),
+        Mqq=put(state.Mqq, sub.Mqq), Mqp=put(state.Mqp, sub.Mqp),
+        Mpq=put(state.Mpq, sub.Mpq), Mpp=put(state.Mpp, sub.Mpp),
+        S=put(state.S, sub.S),
+    )
 
 
 def morse_map_advance(pack: MorseMapPack, carry: MorseMapCarry,
@@ -444,4 +516,4 @@ def morse_map_advance(pack: MorseMapPack, carry: MorseMapCarry,
         sub, _ = rk4_step(sub, potential, dt)
     return MorseMapCarry(th=th, thc=thc,
                          t_rel=carry.t_rel + jnp.asarray(dt, jnp.float64),
-                         sub=sub)
+                         sub=sub, sub_trackers=carry.sub_trackers)

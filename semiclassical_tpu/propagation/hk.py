@@ -44,8 +44,8 @@ from semiclassical_tpu.coherent import (
 )
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.exact_morse import (
-    build_morse_map, morse_map_advance, morse_map_state,
-    supports_exact_morse)
+    build_morse_map, gather_tracker, merge_tracker, morse_map_advance,
+    morse_map_merge, morse_map_state, supports_exact_morse)
 from semiclassical_tpu.propagation.state import SignTracker, TrajState
 from semiclassical_tpu.pytree import pytree_dataclass, replace
 from semiclassical_tpu.sampling import SamplingParams, sample_initial_conditions
@@ -583,8 +583,12 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
         # (th + residual + t_rel); the full TrajState is materialised
         # fresh each step from closed-form constants (no accumulating
         # trajectory error, 4x less carry HBM traffic than the comp32
-        # RK4 state) — see propagation/exact_morse.py.
-        pack, mcarry0 = integ
+        # RK4 state) — see propagation/exact_morse.py.  RK4-routed rows
+        # (unbound tail samples) contribute through their own small
+        # pipeline on the side-channel sub-batch: `bc` is the masked
+        # copy whose routed rows carry -inf log-weights, `bc_sub` the
+        # gathered sub-row constants (pad rows likewise -inf-masked).
+        pack, mcarry0, bc_sub = integ
         mono = state0.Mqq.dtype
 
         def body(carry, _):
@@ -594,12 +598,26 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
             tracker = tracker.update(c2)
             c = jnp.sqrt(c2) * tracker.signs
             cauto, kic = hk_observables(params, bc, state, c, potential)
+            if pack.has_sub:
+                (tr_s,) = mcarry.sub_trackers
+                c2s = hk_prefactor_det(params, mcarry.sub)
+                tr_s = tr_s.update(c2s)
+                cs = jnp.sqrt(c2s) * tr_s.signs
+                ca_s, ki_s = hk_observables(params, bc_sub, mcarry.sub,
+                                            cs, potential)
+                cauto = cauto + ca_s
+                kic = kic + ki_s
+                mcarry = replace(mcarry, sub_trackers=(tr_s,))
             mcarry = morse_map_advance(pack, mcarry, dt, potential)
             return (tracker, mcarry), (cauto, kic, en)
 
         (tracker, mcarry), outs = lax.scan(body, (tracker0, mcarry0), None,
                                            length=nt)
         state_fin, _ = morse_map_state(pack, mcarry, mono, potential)
+        state_fin = morse_map_merge(pack, mcarry, state_fin)
+        if pack.has_sub:
+            tracker = merge_tracker(tracker, mcarry.sub_trackers[0],
+                                    pack.sub_idx)
         return (state_fin, tracker, t0 + nt * dt, mcarry), outs
 
     def body(carry, _):
@@ -655,9 +673,7 @@ class HermanKlukPropagator:
             raise ValueError(f"unknown integrator {integrator!r} "
                              "(expected 'rk4' or 'exact')")
         self.integrator = integrator
-        self._integ_pack = None
-        self._integ_carry = None
-        self._integ_dt = None
+        self._integ_invalidate()
         Gamma_i = np.asarray(Gamma_i, dtype=np.float64)
         Gamma_t = np.asarray(Gamma_t, dtype=np.float64)
         assert linalg.is_symmetric_non_negative(Gamma_i), (
@@ -714,10 +730,22 @@ class HermanKlukPropagator:
                     "integrator='exact' requires a non-harmonic separable "
                     "MorsePotential (diagonal-monodromy state); use "
                     "integrator='rk4' for this potential")
-            self._integ_pack, self._integ_carry = build_morse_map(
-                self.state, potential, dt)
+            pack, carry = build_morse_map(self.state, potential, dt)
+            if pack.has_sub:
+                self._integ_bc_scan = self._mask_routed_rows(
+                    self._bc, pack.row_bad)
+                self._integ_bc_sub = self._gather_sub_rows(
+                    self._bc, pack.sub_idx, pack.n_bad)
+                carry = replace(
+                    carry,
+                    sub_trackers=self._sub_trackers(
+                        carry.sub, self._integ_bc_sub, pack.sub_idx))
+            else:
+                self._integ_bc_scan = self._bc
+                self._integ_bc_sub = None
+            self._integ_pack, self._integ_carry = pack, carry
             self._integ_dt = float(dt)
-        return (self._integ_pack, self._integ_carry)
+        return (self._integ_pack, self._integ_carry, self._integ_bc_sub)
 
     def _integ_invalidate(self):
         """Drop the cached exact-map pack/carry (the state was replaced
@@ -725,14 +753,53 @@ class HermanKlukPropagator:
         self._integ_pack = None
         self._integ_carry = None
         self._integ_dt = None
+        self._integ_bc_scan = None
+        self._integ_bc_sub = None
+
+    # -- exact-integrator side-channel helpers --------------------------------
+
+    @staticmethod
+    def _mask_batch_constants(bc: BatchConstants, mask) -> BatchConstants:
+        """Zero the masked rows' observable contributions by driving their
+        fused log-weights to -inf (exp(-inf) = 0 exactly — the scan never
+        produces NaN because every routed row's closed-form column is a
+        finite rest state, see exact_morse._setup_f64)."""
+        ninf = jnp.asarray(-jnp.inf, dtype=bc.obs_re.dtype)
+        return replace(
+            bc,
+            obs_re=jnp.where(mask, ninf, bc.obs_re),
+            logw_norm=jnp.where(
+                mask, ninf.astype(bc.logw_norm.dtype), bc.logw_norm))
+
+    def _mask_routed_rows(self, bc, row_bad):
+        return self._mask_batch_constants(bc, row_bad)
+
+    def _gather_sub_rows(self, bc, sub_idx, n_bad):
+        """Batch constants of the side-channel rows (pad rows -inf-masked)."""
+        take = lambda a: jnp.take(a, sub_idx, axis=0, mode="fill",
+                                  fill_value=0)
+        sub = replace(
+            bc, qi=take(bc.qi), pi=take(bc.pi), log_prob=take(bc.log_prob),
+            weight=take(bc.weight), logw_norm=take(bc.logw_norm),
+            vi=take(bc.vi), obs_re=take(bc.obs_re), obs_im=take(bc.obs_im),
+            nacq=take(bc.nacq))
+        pad = jnp.arange(sub_idx.shape[0]) >= n_bad
+        return self._mask_batch_constants(sub, pad)
+
+    def _sub_trackers(self, sub_state, bc_sub, sub_idx):
+        """Side-channel sign trackers, seeded from the main trackers'
+        routed rows (the authoritative, checkpointed branch-cut state)."""
+        return (gather_tracker(self.trackers["prefactorC"], sub_idx),)
 
     def _scan(self, potential, dt, nt):
+        integ = self._integ(potential, dt)
+        bc = self._bc if integ is None else self._integ_bc_scan
         return _hk_scan_jit(
-            self.params, self._bc, potential, self.state,
+            self.params, bc, potential, self.state,
             self.trackers["prefactorC"],
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
-            self._integ(potential, dt),
+            integ,
         )
 
     def _store_scan_carry(self, carry):

@@ -40,6 +40,7 @@ from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
                                       times_i, to_device)
 from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.propagation.exact_morse import (morse_map_advance,
+                                                       morse_map_merge,
                                                        morse_map_state)
 from semiclassical_tpu.propagation.hk import (
     BatchConstants,
@@ -1118,7 +1119,7 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
              integ=None):
     if integ is not None:
         # exact-Morse integrator — see _hk_scan and propagation/exact_morse
-        pack, mcarry0 = integ
+        pack, mcarry0, bc_sub = integ
         mono = state0.Mqq.dtype
 
         def body(carry, _):
@@ -1132,12 +1133,33 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
             tr_M = tr_M.update(sd.detM)
             cauto, kic = wm_scan_observables(params, bc, state, sd, c,
                                              tr_A.signs, tr_M.signs)
+            if pack.has_sub:
+                (ts_c, ts_A, ts_M) = mcarry.sub_trackers
+                sub = mcarry.sub
+                c2s = hk_prefactor_det(params.hk, sub)
+                ts_c = ts_c.update(c2s)
+                cs = jnp.sqrt(c2s) * ts_c.signs
+                sds = wm_scan_derived(params, bc_sub, sub, potential)
+                ts_A = ts_A.update(sds.detA)
+                ts_M = ts_M.update(sds.detM)
+                ca_s, ki_s = wm_scan_observables(params, bc_sub, sub, sds,
+                                                 cs, ts_A.signs, ts_M.signs)
+                cauto = cauto + ca_s
+                kic = kic + ki_s
+                mcarry = replace(mcarry, sub_trackers=(ts_c, ts_A, ts_M))
             mcarry = morse_map_advance(pack, mcarry, dt, potential)
             return ((tr_c, tr_A, tr_M), mcarry), (cauto, kic, en)
 
         (trackers, mcarry), outs = lax.scan(body, (trackers0, mcarry0),
                                             None, length=nt)
         state_fin, _ = morse_map_state(pack, mcarry, mono, potential)
+        state_fin = morse_map_merge(pack, mcarry, state_fin)
+        if pack.has_sub:
+            from semiclassical_tpu.propagation.exact_morse import \
+                merge_tracker
+            trackers = tuple(
+                merge_tracker(tr, ts, pack.sub_idx)
+                for tr, ts in zip(trackers, mcarry.sub_trackers))
         return (state_fin, trackers, t0 + nt * dt, mcarry), outs
 
     def body(carry, _):
@@ -1221,14 +1243,33 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             "detM": SignTracker.fresh(detM),
         }
 
+    def _mask_routed_rows(self, bc, row_bad):
+        return replace(bc,
+                       base=self._mask_batch_constants(bc.base, row_bad))
+
+    def _gather_sub_rows(self, bc, sub_idx, n_bad):
+        base = super()._gather_sub_rows(bc.base, sub_idx, n_bad)
+        take = lambda a: jnp.take(a, sub_idx, axis=0, mode="fill",
+                                  fill_value=0)
+        return replace(bc, base=base, eps=take(bc.eps), PIq=take(bc.PIq),
+                       n1q=take(bc.n1q), n2q=take(bc.n2q), z0=take(bc.z0))
+
+    def _sub_trackers(self, sub_state, bc_sub, sub_idx):
+        from semiclassical_tpu.propagation.exact_morse import gather_tracker
+        return (gather_tracker(self.trackers["prefactorC"], sub_idx),
+                gather_tracker(self.trackers["detA"], sub_idx),
+                gather_tracker(self.trackers["detM"], sub_idx))
+
     def _scan(self, potential, dt, nt):
+        integ = self._integ(potential, dt)
+        bc = self._bc if integ is None else self._integ_bc_scan
         trackers0 = (self.trackers["prefactorC"], self.trackers["detA"],
                      self.trackers["detM"])
         return _wm_scan_jit(
-            self.params, self._bc, potential, self.state, trackers0,
+            self.params, bc, potential, self.state, trackers0,
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
-            self._integ(potential, dt),
+            integ,
         )
 
     def _store_scan_carry(self, carry):

@@ -14,9 +14,10 @@ The gates here check
   fail-loud guards (unbound orbits, non-Morse potentials).
 
 The reference has no counterpart — its propagators always run RK4
-(reference propagators.py:86-119); the exact map exists because on TPU it
-is both faster (no PES evaluations, 4x smaller scan carry) and more
-accurate (no accumulating trajectory error) than time stepping.
+(reference propagators.py:86-119); the exact map is an accuracy/
+capability feature (exact at any dt, no stability limit, exact energy
+conservation) — at equal dt it measures ~1.2x RK4's per-step cost on
+TPU (both are VPU-flop-bound; see exact_morse.py).
 """
 
 import numpy as np
@@ -252,12 +253,44 @@ def test_exact_unbound_rows_take_rk4_side_channel():
         for _ in range(7):
             ref, _ = rk4_step(ref, pot, 1.0 / 8)
     st, en = em.morse_map_state(pack, carry, jnp.float64, pot)
+    st = em.morse_map_merge(pack, carry, st)
     # the dissociating row must have flown outward and match RK4
     assert float(st.q[5, 0]) > float(qi[5, 0])
     np.testing.assert_allclose(np.asarray(st.q), np.asarray(ref.q),
                                rtol=0, atol=2e-4 * float(np.abs(ref.q).max()))
     assert np.isfinite(np.asarray(st.S)).all()
     assert np.isfinite(float(en))
+
+
+def test_exact_propagate_with_unbound_rows_matches_rk4():
+    """Full HK propagate (scan + chunking + tracker merge) on a batch
+    containing unbound rows: the hybrid must match the pure-RK4 run
+    (identical sampling; both handle the hot rows with RK4)."""
+    pot, q0, Gamma, omega = _morse(d=4, seed=14)
+    D = np.asarray(pot.D)
+
+    def run(integrator, chunk=None):
+        prop = HermanKlukPropagator(Gamma, Gamma, integrator=integrator)
+        prop.initial_conditions(q0, np.zeros(4), Gamma, ntraj=256, key=8,
+                                potential=pot)
+        # inject hot rows (dissociating + near-separatrix) into the state;
+        # identical surgery on both runs keeps them twins
+        from semiclassical_tpu.pytree import replace
+        p = np.array(prop.state.p)
+        p[3, 0] = np.sqrt(2.1 * D[0])
+        p[100, 2] = np.sqrt(1.9 * D[2] * 0.95)
+        prop.state = replace(prop.state, p=jnp.asarray(p))
+        return prop.propagate(pot, 1.0, 30, check_energy=False,
+                              chunk=chunk)
+
+    c_rk4, k_rk4 = run("rk4")
+    c_ex, k_ex = run("exact")
+    assert np.abs(c_ex - c_rk4).max() < 1e-6
+    assert np.abs(k_ex - k_rk4).max() / np.abs(k_rk4).max() < 1e-6
+    # chunked hybrid reproduces the single-scan hybrid (sub carry +
+    # tracker merge across chunk boundaries)
+    c_ex7, _ = run("exact", chunk=7)
+    np.testing.assert_allclose(c_ex7, c_ex, rtol=0, atol=1e-12)
 
 
 def test_exact_too_hot_ensemble_raises():
