@@ -53,7 +53,11 @@ def main():
     # in the comp32 mode (all-f32 state; 2M exceeds the 16G HBM by 9G)
     ntraj = int(os.environ.get("BENCH_NTRAJ",
                                "1048576" if on_tpu else "2048"))
-    nt = int(os.environ.get("BENCH_NT", "100"))
+    # 500 steps in ONE scan: a single ~7.5 s XLA execution (safely under
+    # the ~60 s tunnel watchdog) that amortizes the ~45 ms-per-fetch
+    # host round-trips of the axon backend — nt=100 leaves ~1.3 ms/step
+    # (~9%) of tunnel overhead in the measurement
+    nt = int(os.environ.get("BENCH_NT", "500" if on_tpu else "100"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _as60_setup
