@@ -69,7 +69,7 @@ def test_gj_det_inv_kernel_vs_lapack_on_chip():
     assert np.abs(inv - ref_inv).max() < 1e-4
 
 
-def _as60(ntraj):
+def _as60(ntraj, integrator="rk4"):
     from semiclassical_tpu.potentials import MorsePotential
     from semiclassical_tpu.propagation import HermanKlukPropagator
 
@@ -83,7 +83,8 @@ def _as60(ntraj):
     dQ = np.sqrt(2.0 * S / omega)
     Gamma = np.diag(omega)
     prop = HermanKlukPropagator(Gamma, Gamma, dtype=jnp.float32,
-                                traj_dtype=jnp.float64)
+                                traj_dtype=jnp.float64,
+                                integrator=integrator)
     prop.initial_conditions(dQ, np.zeros(d), Gamma, ntraj=ntraj, key=0,
                             potential=pot)
     return prop, pot
@@ -163,3 +164,20 @@ def test_comp32_wm_step_on_chip():
     cauto, kic = prop.propagate(pot, 0.25, 5, check_energy=False)
     assert abs(cauto[0] - 1.0) < 2e-2
     assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+
+def test_exact_morse_hybrid_on_chip():
+    """The exact Morse integrator's hybrid (mixed mode) on hardware:
+    twin run vs the RK4 integrator on the identical ensemble (unbound
+    tail rows RK4-routed through the side-channel in the exact run).
+    The gap is bounded by the tail-row f32 exponent noise (BASELINE.md:
+    6.4e-4 at 524k comp32; looser here for the smaller batch)."""
+    prop_r, pot = _as60(4096)
+    c_r, k_r = prop_r.propagate(pot, 0.25, 20, check_energy=False)
+
+    prop_e, pot_e = _as60(4096, integrator="exact")
+    c_e, k_e = prop_e.propagate(pot_e, 0.25, 20, check_energy=True)
+    assert np.isfinite(c_e).all() and np.isfinite(k_e).all()
+    assert np.abs(c_e - c_r).max() < 5e-3
+    # energy trace of the exact part is constant by construction
+    assert np.ptp(prop_e.last_energies) < 1e-5
