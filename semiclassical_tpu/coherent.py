@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from semiclassical_tpu import linalg
-from semiclassical_tpu.linalg import real_dtype, times_i, to_device
+# complex_exp is re-exported here (its historical home) for the
+# propagators and tests; the implementation lives with the complex-safe
+# helpers in linalg.
+from semiclassical_tpu.linalg import (complex_exp,  # noqa: F401
+                                      real_dtype, times_i, to_device)
 from semiclassical_tpu.pytree import pytree_dataclass
 from semiclassical_tpu.units import hbar
 
@@ -110,14 +114,6 @@ class OverlapParams:
         )
 
 
-def complex_exp(re, im, cdtype):
-    """exp(re + i im) evaluated in the precision of re/im, returned as
-    `cdtype`. Keeps large exponents accurate in f64 while the result is
-    safe for complex64-only devices."""
-    rd = real_dtype(cdtype)
-    mag = jnp.exp(re)
-    return jax.lax.complex((mag * jnp.cos(im)).astype(rd),
-                           (mag * jnp.sin(im)).astype(rd))
 
 
 def _overlap_exponent(ov: OverlapParams, dq, dp, pj):

@@ -250,12 +250,20 @@ def _setup_f64(q, p, S0, a, D, dt):
     A = jnp.sum(E - 2.0 * D * (1.0 - rt), axis=1)            # (n,) f64
     S_base = S0.astype(jnp.float64) - jnp.sum(P0, axis=1)
     e_row = jnp.sum(E, axis=1)                               # (n,) f64
+    # Reduce the per-step phase increment mod 2pi once, in f64, at build
+    # time: every quantity of the map is 2pi-periodic in th (the explicit
+    # t-dependence rides t_rel separately), so dropping whole periods from
+    # the constant increment is exact — and it keeps |th| <= 2pi at the
+    # per-step wrap for ANY dt, preserving the k in {-1, 0, 1} invariant
+    # the compensated wrap arithmetic relies on.
+    wdt = wE * dt
+    wdt = wdt - (2.0 * np.pi) * jnp.round(wdt / (2.0 * np.pi))
     consts = dict(
         s=s, qoff=-jnp.log1p(-eps) / a, pamp=s * wE / a, cE=wE / a,
         c12b=s / one_m_eps / a,
         c22a=(wpE * eps + wE / 2.0) / a, c22b=s * wE / (2.0 * a),
         bco=eps * wpE, j011=j011, j012=j012, j021=j021, j022=j022,
-        beta=beta, pc2=pc2, wdt=wE * dt,
+        beta=beta, pc2=pc2, wdt=wdt,
         th0=th0, A=A, S_base=S_base, e_row=e_row,
     )
     return consts, eps_raw
@@ -266,8 +274,11 @@ _setup_f64_jit = jax.jit(_setup_f64)
 
 def build_morse_map(state: TrajState, potential, dt):
     """Build the exact-map constant pack and initial carry from the current
-    state.  Raises ValueError for unbound orbits (eps >= EPS_BOUND) or
-    unsupported configurations."""
+    state.  Rows with an unbound/near-separatrix mode (eps > EPS_EXACT) are
+    routed to the RK4 side-channel; a ValueError is raised only for
+    unsupported configurations (harmonic/non-Morse potential, dense
+    monodromy, non-unit masses) or when more than RK4_FRACTION_MAX of the
+    batch would be routed."""
     from semiclassical_tpu.potentials.model import MorsePotential
 
     if not isinstance(potential, MorsePotential) or potential.harmonic:
@@ -369,10 +380,12 @@ def build_morse_map(state: TrajState, potential, dt):
 
 def _is_identity_diag_monodromy(state: TrajState) -> bool:
     """Host check whether M0 == identity (the fresh-batch fast path that
-    skips the per-step 2x2 composition)."""
+    skips the per-step 2x2 composition).  One fused device reduction —
+    separate jnp.all() terms would each pay a ~45 ms host round-trip on
+    the tunneled TPU backend."""
     return bool(
-        jnp.all(state.Mqq == 1.0) and jnp.all(state.Mpp == 1.0)
-        and jnp.all(state.Mqp == 0.0) and jnp.all(state.Mpq == 0.0))
+        jnp.all((state.Mqq == 1.0) & (state.Mpp == 1.0)
+                & (state.Mqp == 0.0) & (state.Mpq == 0.0)))
 
 
 def morse_map_state(pack: MorseMapPack, carry: MorseMapCarry,

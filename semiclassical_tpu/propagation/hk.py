@@ -371,15 +371,12 @@ def hk_prefactor_det(params: HKParams, state: TrajState):
             Ke = (params.Lt_i_re * params.Ri_i_re.T).T
             diag_re = 0.5 * (mqq @ Ka + mpp @ Kc)          # (n, r)
             diag_im = 0.5 * (mpq @ Ke / hbar - hbar * (mqp @ Kb))
-        # product over modes in log space: magnitudes as a sum of logs
-        # (range-safe at any d), phases as a sum of angles. A
+        # product over modes in log space (range-safe at any d). A
         # transcendental-free exponent-bitcast product
         # (linalg.batched_mode_product) measured 1.4 ms SLOWER here at
         # 524k — XLA fuses log/arctan2 into this elementwise chain while
         # the halving tree forces extra fusion boundaries.
-        log_mag = 0.5 * jnp.sum(jnp.log(diag_re**2 + diag_im**2), axis=1)
-        ang = jnp.sum(jnp.arctan2(diag_im, diag_re), axis=1)
-        return complex_exp(log_mag, ang, params.cdtype)
+        return linalg.logspace_mode_product(diag_re, diag_im, params.cdtype)
     mat_re, mat_im = hk_prefactor_mat(params, state)
     return linalg.batched_det(jax.lax.complex(mat_re, mat_im))
 
@@ -718,13 +715,17 @@ class HermanKlukPropagator:
     def _integ(self, potential, dt):
         """Resolve the integrator for this scan: None selects RK4; for the
         exact Morse map, build (or reuse) the constant pack and the carried
-        phase.  The pack is tied to (batch, potential, dt): a dt change
+        phase.  The pack is tied to (state, potential, dt) by object
+        identity: a dt change, an externally assigned `self.state` (state
+        surgery is a supported pattern), or a different potential object
         rebuilds it from the current state (the map is exact, so re-setup
         introduces no stepping error)."""
         if self.integrator != "exact":
             return None
         if (self._integ_pack is None or self._integ_carry is None
-                or self._integ_dt != float(dt)):
+                or self._integ_dt != float(dt)
+                or self._integ_state_ref is not self.state
+                or self._integ_pot_ref is not potential):
             if not supports_exact_morse(potential, self.state):
                 raise ValueError(
                     "integrator='exact' requires a non-harmonic separable "
@@ -745,6 +746,8 @@ class HermanKlukPropagator:
                 self._integ_bc_sub = None
             self._integ_pack, self._integ_carry = pack, carry
             self._integ_dt = float(dt)
+            self._integ_state_ref = self.state
+            self._integ_pot_ref = potential
         return (self._integ_pack, self._integ_carry, self._integ_bc_sub)
 
     def _integ_invalidate(self):
@@ -755,6 +758,8 @@ class HermanKlukPropagator:
         self._integ_dt = None
         self._integ_bc_scan = None
         self._integ_bc_sub = None
+        self._integ_state_ref = None
+        self._integ_pot_ref = None
 
     # -- exact-integrator side-channel helpers --------------------------------
 
@@ -809,6 +814,7 @@ class HermanKlukPropagator:
         self.t = float(t)
         if mcarry is not None:
             self._integ_carry = mcarry
+            self._integ_state_ref = state  # carry and state advanced together
 
     # -- setup ---------------------------------------------------------------
 

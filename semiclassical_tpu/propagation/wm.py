@@ -493,13 +493,9 @@ class WMScanDerived:
     kfac: jnp.ndarray    # (n,) complex  nacqQ + nacQ nacq  (eqns. 89-100)
 
 
-def _logspace_prod(z_re, z_im, cdtype, axis=1):
-    """prod of (z_re + i z_im) over the mode `axis`, in log space
-    (magnitudes as a sum of logs, phases as a sum of angles — range-safe
-    at any mode count; same pattern as hk_prefactor_det's diagonal path)."""
-    log_mag = 0.5 * jnp.sum(jnp.log(z_re**2 + z_im**2), axis=axis)
-    ang = jnp.sum(jnp.arctan2(z_im, z_re), axis=axis)
-    return complex_exp(log_mag, ang, cdtype)
+# the log-space complex mode product shared with hk_prefactor_det —
+# canonical implementation in linalg
+_logspace_prod = linalg.logspace_mode_product
 
 
 def _wm_diag_core(params: WMParams, state: TrajState):
@@ -1279,6 +1275,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         self.t = float(t)
         if mcarry is not None:
             self._integ_carry = mcarry
+            self._integ_state_ref = state  # carry and state advanced together
 
     # -- granular API ---------------------------------------------------------
 

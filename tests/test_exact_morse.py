@@ -319,3 +319,63 @@ def test_exact_requires_morse():
 def test_exact_invalid_integrator_name():
     with pytest.raises(ValueError, match="integrator"):
         HermanKlukPropagator(np.eye(2), np.eye(2), integrator="leapfrog")
+
+
+def test_exact_state_surgery_rebuilds_map():
+    """Externally assigned state (state surgery is a supported pattern —
+    the cache is keyed on object identity) must invalidate the cached
+    exact-map pack/carry: the continuation must track RK4 on the SAME
+    surged state, not silently replay the cached orbit."""
+    from dataclasses import replace as dc_replace
+
+    pot, q0, Gamma, _ = _morse(d=4, seed=8)
+
+    def run(integrator):
+        prop = HermanKlukPropagator(Gamma, Gamma, integrator=integrator)
+        prop.initial_conditions(q0, np.zeros(4), Gamma, ntraj=128, key=5,
+                                potential=pot)
+        prop.propagate(pot, 1.0, 10)
+        prop.state = dc_replace(prop.state, p=1.2 * prop.state.p)
+        return prop.propagate(pot, 1.0, 20)
+
+    c_ex, _ = run("exact")
+    c_rk, _ = run("rk4")
+    # pre-fix the exact branch returned the *unmutated* continuation
+    # (|dC| ~ 1e-1 vs rk4); post-fix both see the surged momenta
+    assert np.abs(c_ex - c_rk).max() < 1e-6
+
+
+def test_exact_wdt_reduced_mod_2pi_any_dt():
+    """The constant per-step phase increment is reduced mod 2pi at build
+    time (the map is 2pi-periodic in th), so the per-step wrap invariant
+    k in {-1, 0, 1} holds at ANY dt — including steps spanning several
+    orbital periods."""
+    pot, q0c, Gamma, omega = _morse(d=4, seed=6)
+    rng = np.random.default_rng(3)
+    n = 32
+    qi = q0c[None, :] + rng.normal(0, 0.3, (n, 4)) / np.sqrt(omega)[None, :]
+    pi = rng.normal(0, 0.5, (n, 4)) * np.sqrt(omega)[None, :]
+    state = TrajState.initial(jnp.asarray(qi), jnp.asarray(pi),
+                              diag_monodromy=True)
+
+    # several periods of the fastest mode per step
+    dt = float(3.0 * np.pi / omega.min())
+    pack, _ = em.build_morse_map(state, pot, dt)
+    tp = 2.0 * np.pi
+    assert np.abs(np.asarray(pack.wdt_hi)).max() <= 0.5 * tp + 1e-12
+
+    # the coarse run must sample the same orbit as a fine run whose
+    # increments never needed reduction (already-validated regime)
+    sub = 64
+    packc, carryc = em.build_morse_map(state, pot, dt)
+    packf, carryf = em.build_morse_map(state, pot, dt / sub)
+    for _ in range(4):
+        carryc = em.morse_map_advance(packc, carryc, dt, pot)
+    for _ in range(4 * sub):
+        carryf = em.morse_map_advance(packf, carryf, dt / sub, pot)
+    coarse, _ = em.morse_map_state(packc, carryc, jnp.float64, pot)
+    fine, _ = em.morse_map_state(packf, carryf, jnp.float64, pot)
+    for blk in ("q", "p", "S", "Mqq", "Mqp", "Mpq", "Mpp"):
+        a, b = np.asarray(getattr(coarse, blk)), np.asarray(
+            getattr(fine, blk))
+        assert np.abs(a - b).max() / max(1.0, np.abs(b).max()) < 1e-8, blk
