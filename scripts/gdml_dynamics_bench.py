@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="full-f64 GDML (emulated on TPU) instead of the "
                          "mixed hess_dtype mode")
+    ap.add_argument("--hessian-eval", choices=("stage", "step"),
+                    default="stage",
+                    help="'step' = one midpoint Hessian per RK4 step, "
+                         "frozen across the monodromy update (the sGDML "
+                         "Hessian costs ~20x the gradient)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +65,8 @@ def main():
     with open(os.path.join(REF_DATA, "Gaussian16", "coumarin_s1.fchk")) as f:
         exc = FormattedCheckpointFile(f)
     pot = MolecularGDMLPotential.create(
-        model, exc, hess_dtype=None if args.f64 else jnp.float32)
+        model, exc, hess_dtype=None if args.f64 else jnp.float32,
+        hessian_eval=args.hessian_eval)
     x0, Gamma0, zpe = exc.vibrational_groundstate()
     pot = minimize(pot, jnp.asarray(x0))
 
@@ -88,6 +94,7 @@ def main():
         "bench": "gdml_hk_step", "ntraj": args.ntraj, "nt": args.nt,
         "dim": int(pot.dimensions()),
         "mode": "f64" if args.f64 else "mixed(hess_dtype=f32)",
+        "hessian_eval": args.hessian_eval,
         "wall_s": round(wall, 3),
         "ms_per_step": round(1e3 * wall / args.nt, 2),
         "traj_steps_per_s": round(args.ntraj * args.nt / wall, 1),

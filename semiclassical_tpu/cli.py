@@ -194,7 +194,10 @@ def _build_potential(task):
             nacs_fchk = FormattedCheckpointFile(f)
         potential = potentials.MolecularGDMLPotential.create(
             model_pot, nacs_fchk,
-            hess_dtype=p.get("hess_dtype") or None)
+            hess_dtype=p.get("hess_dtype") or None,
+            hessian_eval=p.get("hessian_eval", "stage"))
+        logger.info("  hessian_eval                              : "
+                    f"{potential.hessian_eval}")
         with open(p["excited"]) as f:
             excited_fchk = FormattedCheckpointFile(f)
         x0, Gamma_0, en_zpt = excited_fchk.vibrational_groundstate()

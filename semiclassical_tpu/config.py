@@ -27,7 +27,7 @@ class ConfigurationError(Exception):
 _POTENTIAL_KEYS = {
     "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
     "gdml": {"type": str, "ground": str, "excited": str, "coupling": str,
-             "hess_dtype": str},
+             "hess_dtype": str, "hessian_eval": str},
     "anharmonic AS": {"type": str, "model_file": str},
 }
 
@@ -36,7 +36,7 @@ _POTENTIAL_KEYS = {
 # are type-checked when present but never demanded.
 _POTENTIAL_OPTIONAL = {
     "harmonic": set(),
-    "gdml": {"hess_dtype"},
+    "gdml": {"hess_dtype", "hessian_eval"},
     "anharmonic AS": set(),
 }
 

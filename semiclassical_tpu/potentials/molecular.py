@@ -104,7 +104,7 @@ class MolecularHarmonicPotential:
         return jnp.zeros_like(q)
 
 
-@pytree_dataclass(meta=("hess_dtype",))
+@pytree_dataclass(meta=("hess_dtype", "hessian_eval"))
 class MolecularGDMLPotential:
     """sGDML machine-learned ground-state PES with constant NAC vector.
 
@@ -114,6 +114,14 @@ class MolecularGDMLPotential:
     `hess_dtype` selects the TPU mixed mode: f64 energies/gradients (the
     action phase needs them) with an f32 Hessian for the monodromy blocks
     — ~137x faster than emulated-f64 Hessians on TPU (BASELINE.md).
+
+    `hessian_eval` selects how often the integrator samples the Hessian:
+    "stage" (default — every RK4 stage, trajectory-for-trajectory parity
+    with the reference) or "step" — once per step at the midpoint stage,
+    frozen across the monodromy update (the analytic sGDML Hessian costs
+    ~20x the gradient, so this trades an O(dt^3 ||dH/dt||) monodromy error
+    for most of the step cost; trajectories are unchanged bit for bit —
+    see eom.rk4_step).
     """
 
     gdml: GDMLParams
@@ -121,9 +129,11 @@ class MolecularGDMLPotential:
     mass: jnp.ndarray    # (d,)
     origin: jnp.ndarray  # ()
     hess_dtype: str
+    hessian_eval: str = "stage"
 
     @staticmethod
-    def create(model_pot, nac_fchk, dtype=jnp.float64, hess_dtype=None):
+    def create(model_pot, nac_fchk, dtype=jnp.float64, hess_dtype=None,
+               hessian_eval="stage"):
         gdml = GDMLParams.from_npz(model_pot, dtype=dtype)
         nac0 = nac_fchk.nonadiabatic_coupling()
         model_z = np.asarray(dict(model_pot)["z"])
@@ -132,12 +142,16 @@ class MolecularGDMLPotential:
         )
         mass = nac_fchk.masses()
         logger.info(f"atomic masses (multiples of electron mass): {mass}")
+        if hessian_eval not in ("stage", "step"):
+            raise ValueError(f"unknown hessian_eval {hessian_eval!r} "
+                             "(expected 'stage' or 'step')")
         return MolecularGDMLPotential(
             gdml=gdml,
             nac0=jnp.asarray(nac0, dtype=dtype),
             mass=jnp.asarray(mass, dtype=dtype),
             origin=jnp.asarray(0.0, dtype=dtype),
             hess_dtype="" if hess_dtype is None else jnp.dtype(hess_dtype).name,
+            hessian_eval=hessian_eval,
         )
 
     def dimensions(self) -> int:
@@ -154,6 +168,13 @@ class MolecularGDMLPotential:
             self.gdml, q, order=2,
             hess_dtype=self.hess_dtype or None)
         return v - self.origin, grad, DenseHessian(mat=hess)
+
+    def value_grad(self, q):
+        """Energy + gradient only (order-1 early exit) — the cheap stage
+        evaluation for `hessian_eval = "step"` (the Hessian assembly is
+        the dominant cost of the full expansion)."""
+        v, grad = gdml_forward(self.gdml, q, order=1)
+        return v - self.origin, grad
 
     def derivative_coupling_1st(self, q):
         return jnp.broadcast_to(self.nac0[None, :], q.shape)

@@ -11,6 +11,14 @@ propagators.py:296-398 (EquationsOfMotion). Differences by design:
   `HessianOp`, so separable potentials cost O(n d^2) instead of O(n d^3);
 * each RK4 stage evaluates the potential once, exactly like the reference
   (4 PES evaluations per step — required for trajectory-level parity);
+* potentials whose Hessian is far more expensive than the gradient (sGDML)
+  may opt into `hessian_eval = "step"`: the trajectory block still takes
+  all 4 gradient stages, but the Hessian is evaluated ONCE per step at the
+  midpoint stage and held frozen across the monodromy update — the
+  second-order (midpoint-Magnus) approximation of the time-ordered
+  monodromy propagator, with O(dt^3 ||dH/dt||) local error. Trajectories
+  (q, p, S) are bit-identical to the 4-stage mode; only the monodromy
+  blocks (and through them the prefactor) carry the approximation;
 * the step is integrated in THREE independent subsystems that share the
   stage Hessians: the trajectory block (q, p, S) first, then the two
   monodromy pairs (Mqq, Mpq) and (Mqp, Mpp).  The pairs are genuinely
@@ -113,19 +121,46 @@ def rk4_step(state: TrajState, potential, dt):
     # (n, d) stage products onto the emulated-f64 path
     inv_m_t = inv_m.astype(q.dtype)
 
-    def traj_stage(qs, ps):
-        vpot, grad, hess = potential.local_expansion(qs)
+    # hessian_eval = "step" (opt-in on the potential, e.g. sGDML where the
+    # analytic Hessian costs ~20x the gradient): gradients at all 4 stages,
+    # Hessian once at the midpoint stage, frozen across the monodromy
+    # update (midpoint-Magnus; trajectories are unchanged bit for bit)
+    frozen_hess = getattr(potential, "hessian_eval", "") == "step"
+    value_grad = getattr(potential, "value_grad", None)
+    if value_grad is None:
+        def value_grad(qs):
+            vpot, grad, _ = potential.local_expansion(qs)
+            return vpot, grad
+
+    def pack_stage(qs, ps, vpot, grad):
         tkin = 0.5 * jnp.sum(ps**2 * inv_m_t[None, :], axis=1)
         return ((ps * inv_m_t[None, :]).astype(q.dtype),
                 -grad.astype(p.dtype),
                 (tkin - vpot.astype(tkin.dtype)).astype(S.dtype)), \
-            hess, tkin + vpot.astype(tkin.dtype)
+            tkin + vpot.astype(tkin.dtype)
 
-    # --- trajectory block (q, p, S): 4 PES evaluations, Hessians kept ---
-    k1, H1, e1 = traj_stage(q, p)
-    k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
-    k3, H3, _ = traj_stage(q + half * k2[0], p + half * k2[1])
-    k4, H4, _ = traj_stage(q + tdt * k3[0], p + tdt * k3[1])
+    def traj_stage(qs, ps):
+        vpot, grad, hess = potential.local_expansion(qs)
+        k, e = pack_stage(qs, ps, vpot, grad)
+        return k, hess, e
+
+    def traj_stage_nohess(qs, ps):
+        vpot, grad = value_grad(qs)
+        k, e = pack_stage(qs, ps, vpot, grad)
+        return k, None, e
+
+    # --- trajectory block (q, p, S): 4 PES evaluations ---
+    if frozen_hess:
+        k1, _, e1 = traj_stage_nohess(q, p)
+        k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
+        k3, _, _ = traj_stage_nohess(q + half * k2[0], p + half * k2[1])
+        k4, _, _ = traj_stage_nohess(q + tdt * k3[0], p + tdt * k3[1])
+        H1 = H3 = H4 = H2
+    else:
+        k1, H1, e1 = traj_stage(q, p)
+        k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
+        k3, H3, _ = traj_stage(q + half * k2[0], p + half * k2[1])
+        k4, H4, _ = traj_stage(q + tdt * k3[0], p + tdt * k3[1])
     sixth = tdt / 6.0
     if state.compensated:
         # comp32: the f32 increment is folded into the state by an exact

@@ -1,0 +1,250 @@
+# coding: utf-8
+"""Tests for `hessian_eval = "step"` — the once-per-step frozen-Hessian
+monodromy mode for potentials with expensive Hessians (sGDML).
+
+Contract (eom.rk4_step): trajectories (q, p, S) are bit-identical to the
+default 4-stage mode — only the monodromy blocks carry the midpoint-Magnus
+approximation, with O(dt^3 ||dH/dt||) local error.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from semiclassical_tpu.potentials.base import DenseHessian
+from semiclassical_tpu.propagation import HermanKlukPropagator
+from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.pytree import pytree_dataclass
+
+
+@pytree_dataclass(meta=("hessian_eval",))
+class _CosCoupledPotential:
+    """V = 1/2 q^T K q - lam cos(c.q) — a bounded anharmonic coupling with
+    a genuinely geometry-dependent dense Hessian K + lam cos(c.q) c c^T
+    (the DenseHessian monodromy branch, i.e. the GDML code path) and a
+    closed-form cheap gradient."""
+
+    K: jnp.ndarray
+    c: jnp.ndarray
+    lam: jnp.ndarray
+    nac0: jnp.ndarray
+    hessian_eval: str = "stage"
+
+    def dimensions(self):
+        return self.K.shape[0]
+
+    def masses(self):
+        return jnp.ones(self.K.shape[0], dtype=self.K.dtype)
+
+    def total_energy(self):
+        return jnp.zeros((), dtype=self.K.dtype)
+
+    def value_grad(self, q):
+        cq = q @ self.c
+        v = 0.5 * jnp.sum((q @ self.K) * q, axis=1) - self.lam * jnp.cos(cq)
+        grad = q @ self.K + self.lam * jnp.sin(cq)[:, None] * self.c
+        return v, grad
+
+    def local_expansion(self, q):
+        v, grad = self.value_grad(q)
+        cq = q @ self.c
+        hess = (self.K[None] + self.lam * jnp.cos(cq)[:, None, None]
+                * (self.c[:, None] * self.c[None, :])[None])
+        return v, grad, DenseHessian(mat=hess)
+
+    def derivative_coupling_1st(self, q):
+        return jnp.broadcast_to(self.nac0[None, :], q.shape)
+
+    def derivative_coupling_2nd(self, q):
+        return jnp.zeros_like(q)
+
+
+def _make_potential(d=4, lam=1.0e-3, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.2, 0.5, size=d)
+    c = rng.uniform(-1.0, 1.0, size=d)
+    c /= np.linalg.norm(c)
+    return _CosCoupledPotential(
+        K=jnp.asarray(np.diag(w**2)), c=jnp.asarray(c),
+        lam=jnp.asarray(lam), nac0=jnp.asarray(rng.uniform(-1, 1, size=d)))
+
+
+def _run(pot, nt=40, dt=0.5, ntraj=32, key=3):
+    d = pot.dimensions()
+    w = np.sqrt(np.diag(np.asarray(pot.K)))
+    Gamma = np.diag(w)
+    q0 = np.full(d, 0.3)
+    prop = HermanKlukPropagator(Gamma, Gamma)
+    prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=ntraj, key=key,
+                            potential=pot)
+    cauto, kic = prop.propagate(pot, dt, nt,
+                                energy0_es=float(w.sum() / 2))
+    return prop.state, cauto, kic
+
+
+def test_frozen_hessian_exact_for_constant_hessian():
+    """With lam = 0 the Hessian is geometry-independent, so freezing it
+    changes nothing: step and stage modes must agree to roundoff."""
+    from semiclassical_tpu.pytree import replace
+    pot_stage = _make_potential(lam=0.0)
+    pot_step = replace(pot_stage, hessian_eval="step")
+    s1, c1, k1 = _run(pot_stage, nt=10)
+    s2, c2, k2 = _run(pot_step, nt=10)
+    np.testing.assert_allclose(np.asarray(s2.Mqq), np.asarray(s1.Mqq),
+                               rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(c2, c1, rtol=1e-12, atol=1e-14)
+
+
+def test_frozen_hessian_trajectories_bit_identical():
+    """q, p, S never see the Hessian: the frozen mode must reproduce them
+    exactly, while the monodromy differs (but only slightly)."""
+    from semiclassical_tpu.pytree import replace
+    pot = _make_potential(lam=2.0e-2)
+    s1, c1, k1 = _run(pot)
+    s2, c2, k2 = _run(replace(pot, hessian_eval="step"))
+    assert np.array_equal(np.asarray(s1.q), np.asarray(s2.q))
+    assert np.array_equal(np.asarray(s1.p), np.asarray(s2.p))
+    assert np.array_equal(np.asarray(s1.S), np.asarray(s2.S))
+    dM = np.abs(np.asarray(s1.Mqq) - np.asarray(s2.Mqq)).max()
+    assert dM > 0.0  # the approximation is real...
+    # ...and bounded even at this deliberately coarse regime (w dt ~ 0.25,
+    # ~70x coarser than production molecular steps; measured dM ~ 1.6e-3,
+    # dC ~ 5e-4 — the O(dt^2) scaling is gated by the convergence test
+    # below, production-regime accuracy by the GDML twin test)
+    assert dM < 5e-3
+    np.testing.assert_allclose(c2, c1, rtol=0, atol=2e-3)
+    np.testing.assert_allclose(k2, k1, rtol=0, atol=2e-3)
+
+
+def test_frozen_hessian_second_order_convergence():
+    """The midpoint-frozen monodromy propagator is a 2nd-order method:
+    halving dt must shrink the monodromy gap to the stage mode ~4x
+    (asymptotically; allow 3x for pre-asymptotic slack)."""
+    from semiclassical_tpu.pytree import replace
+    pot = _make_potential(lam=2.0e-2)
+    pot_f = replace(pot, hessian_eval="step")
+
+    def gap(dt, nt):
+        s1, _, _ = _run(pot, nt=nt, dt=dt)
+        s2, _, _ = _run(pot_f, nt=nt, dt=dt)
+        return np.abs(np.asarray(s1.Mpq) - np.asarray(s2.Mpq)).max()
+
+    g_coarse = gap(1.0, 16)   # same physical horizon
+    g_fine = gap(0.5, 32)
+    assert g_coarse / g_fine > 3.0
+
+
+def test_single_step_matches_manual_composition():
+    """One frozen-H rk4_step must equal the 4-stage recurrence run with the
+    midpoint Hessian substituted at every stage (the defining equation of
+    the mode), not merely be 'close'."""
+    from semiclassical_tpu.pytree import replace
+    pot = _make_potential(lam=2.0e-2)
+    pot_f = replace(pot, hessian_eval="step")
+    d = pot.dimensions()
+    rng = np.random.default_rng(1)
+    n = 8
+    from semiclassical_tpu.propagation.state import TrajState
+    eye = jnp.broadcast_to(jnp.eye(d), (n, d, d))
+    state = TrajState(
+        q=jnp.asarray(rng.normal(0.3, 0.1, size=(n, d))),
+        p=jnp.asarray(rng.normal(0.0, 0.1, size=(n, d))),
+        Mqq=eye, Mqp=jnp.zeros((n, d, d)), Mpq=jnp.zeros((n, d, d)),
+        Mpp=eye, S=jnp.zeros(n))
+    dt = 0.5
+
+    new_f, _ = rk4_step(state, pot_f, dt)
+
+    # manual composition: trajectory block from the plain potential (the
+    # trajectories never see the Hessian), midpoint Hessian by hand
+    v1, g1 = pot.value_grad(state.q)
+    k1q = state.p  # masses are 1
+    q_mid = state.q + 0.5 * dt * k1q
+    _, _, H_mid = pot.local_expansion(q_mid)
+
+    @pytree_dataclass(meta=("hessian_eval",))
+    class _FrozenH:
+        base: _CosCoupledPotential
+        Hm: jnp.ndarray
+        hessian_eval: str = "stage"
+
+        def masses(self):
+            return self.base.masses()
+
+        def local_expansion(self, q):
+            v, grad = self.base.value_grad(q)
+            return v, grad, DenseHessian(
+                mat=jnp.broadcast_to(self.Hm, (q.shape[0],) + self.Hm.shape[1:]))
+
+    new_m, _ = rk4_step(state, _FrozenH(base=pot, Hm=H_mid.mat), dt)
+    for leaf in ("q", "p", "S", "Mqq", "Mqp", "Mpq", "Mpp"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_f, leaf)), np.asarray(getattr(new_m, leaf)),
+            rtol=1e-14, atol=1e-16, err_msg=leaf)
+
+
+@pytest.mark.slow
+def test_gdml_frozen_hessian_close(ref_data):
+    """Coumarin sGDML: hessian_eval='step' must track the 4-stage mode —
+    identical ensembles, so the gate is far below MC noise. (This is the
+    configuration the mode exists for: the analytic sGDML Hessian costs
+    ~20x the gradient — BASELINE.md.)"""
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    def run(hessian_eval):
+        pot = MolecularGDMLPotential.create(model, exc,
+                                            hessian_eval=hessian_eval)
+        prop = HermanKlukPropagator(Gamma0, Gamma0)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=16,
+                                key=7, potential=pot)
+        return prop.propagate(pot, 0.25, 12, energy0_es=zpe)
+
+    c_stage, k_stage = run("stage")
+    c_step, k_step = run("step")
+    np.testing.assert_allclose(c_step, c_stage, rtol=0, atol=2e-7)
+    np.testing.assert_allclose(k_step, k_stage, rtol=0, atol=2e-7)
+    # the run is non-trivial
+    assert np.abs(c_stage[-1] - c_stage[0]) > 1e-4
+
+
+def test_gdml_create_rejects_bad_hessian_eval(ref_data):
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    with pytest.raises(ValueError, match="hessian_eval"):
+        MolecularGDMLPotential.create(model, exc, hessian_eval="never")
+
+
+def test_config_accepts_hessian_eval():
+    from semiclassical_tpu.config import validate_task
+
+    task = {
+        "task": "dynamics",
+        "potential": {"type": "gdml", "ground": "m.npz", "excited": "e.fchk",
+                      "coupling": "c.fchk", "hessian_eval": "step"},
+        "num_steps": 2,
+        "time_step_fs": 0.005,
+        "results": {"correlations": "c.npz"},
+    }
+    validate_task(task)  # must not raise
