@@ -125,7 +125,13 @@ def rk4_step(state: TrajState, potential, dt):
     # analytic Hessian costs ~20x the gradient): gradients at all 4 stages,
     # Hessian once at the midpoint stage, frozen across the monodromy
     # update (midpoint-Magnus; trajectories are unchanged bit for bit)
-    frozen_hess = getattr(potential, "hessian_eval", "") == "step"
+    hessian_eval = getattr(potential, "hessian_eval", "stage")
+    if hessian_eval not in ("stage", "step", ""):
+        # trace-time guard: a typo'd value set by direct construction or
+        # pytree replace() must not silently fall back to the 4-stage mode
+        raise ValueError(f"unknown hessian_eval {hessian_eval!r} "
+                         "(expected 'stage' or 'step')")
+    frozen_hess = hessian_eval == "step"
     value_grad = getattr(potential, "value_grad", None)
     if value_grad is None:
         def value_grad(qs):

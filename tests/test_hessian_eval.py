@@ -210,10 +210,18 @@ def test_gdml_frozen_hessian_close(ref_data):
         prop = HermanKlukPropagator(Gamma0, Gamma0)
         prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=16,
                                 key=7, potential=pot)
-        return prop.propagate(pot, 0.25, 12, energy0_es=zpe)
+        c, k = prop.propagate(pot, 0.25, 12, energy0_es=zpe)
+        return prop.state, c, k
 
-    c_stage, k_stage = run("stage")
-    c_step, k_step = run("step")
+    s_stage, c_stage, k_stage = run("stage")
+    s_step, c_step, k_step = run("step")
+    # the bit-identity contract on the REAL potential: the step mode's
+    # order-1 gdml_forward at stages 1/3/4 is a strict code prefix of the
+    # order-2 program, and XLA(CPU) reproduces the shared E/grad subgraph
+    # exactly — q/p/S never see the Hessian
+    assert np.array_equal(np.asarray(s_stage.q), np.asarray(s_step.q))
+    assert np.array_equal(np.asarray(s_stage.p), np.asarray(s_step.p))
+    assert np.array_equal(np.asarray(s_stage.S), np.asarray(s_step.S))
     np.testing.assert_allclose(c_step, c_stage, rtol=0, atol=2e-7)
     np.testing.assert_allclose(k_step, k_stage, rtol=0, atol=2e-7)
     # the run is non-trivial
