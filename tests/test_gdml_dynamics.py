@@ -177,3 +177,35 @@ def test_gdml_hk_dynamics(ref_data):
     assert abs(cauto[0] - 1.0) < 0.05  # MC estimate at tiny ntraj
     # |C| decays or stays bounded
     assert np.abs(cauto).max() < 1.5
+
+
+@pytest.mark.slow
+def test_gdml_wm_dynamics(ref_data):
+    """WM propagator on the sGDML PES — the combination the reference's
+    own README ships as the flagship 'gdml' example (README.rst "with
+    'gdml' potential": propagator WM, cell_width 10000). Exercises the
+    dense WM path (DenseHessian monodromy, rank-deficient Gamma0 with 6
+    zero modes) end to end."""
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    pot = MolecularGDMLPotential.create(model, exc)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    prop = WaltonManolopoulosPropagator(Gamma0, Gamma0, 10000.0, 10000.0)
+    prop.initial_conditions(np.asarray(x0), np.zeros_like(np.asarray(x0)),
+                            Gamma0, ntraj=16, key=5, potential=pot)
+    cauto, kic = prop.propagate(pot, 0.25, 8, energy0_es=zpe)
+    cauto = np.asarray(cauto)
+    assert np.isfinite(cauto).all() and np.isfinite(np.asarray(kic)).all()
+    # WM's cell-integrated C(0) is exact up to the quadrature width
+    assert abs(abs(cauto[0]) - 1.0) < 5e-4
+    assert np.abs(cauto).max() < 1.5
