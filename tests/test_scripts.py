@@ -63,3 +63,18 @@ def test_compare_relaxed_scan_script(gdml_fixtures, tmp_path):
 def test_scripts_usage_exit():
     for name in ("sgdml_compare_normal_modes", "sgdml_compare_relaxed_scan"):
         assert _load(name).main(["prog"]) == 1
+
+
+@pytest.mark.slow
+def test_validate_1d_study_script(tmp_path):
+    """The standalone 1D validation study (scripts/validate_1d.py — the
+    framework's analogue of the reference's long-form study script,
+    reference tests/test_HK_WM_1d.py) passes its own gates at a reduced
+    scale and writes the comparison figures."""
+    mod = _load("validate_1d")
+    out = tmp_path / "figs"
+    rc = mod.main(["prog", "--ntraj", "2000", "--periods", "0.5",
+                   "--nt", "40", "--plot", str(out)])
+    assert rc == 0
+    assert (out / "correlations_1d.png").exists()
+    assert (out / "wavefunctions_1d.png").exists()
