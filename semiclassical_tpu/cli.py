@@ -73,6 +73,11 @@ def main(argv=None):
         "plot", help="plot correlation and rate functions from .npz files")
     parser_plot.add_argument("correlation_files", type=str, nargs="+",
                              metavar="correlations.npz")
+    parser_plot.add_argument(
+        "--save", type=str, default="", metavar="figure.png",
+        help="write the figure to this file instead of opening a window "
+             "(headless TPU VMs have no display; any matplotlib-supported "
+             "extension works: .png, .pdf, .svg)")
 
     parser_export = subparsers.add_parser(
         "export",
@@ -139,7 +144,8 @@ def main(argv=None):
                 if task["task"] == "rates":
                     calculate_rates(task)
         elif args.command == "plot":
-            _plot_correlation_functions(args.correlation_files)
+            _plot_correlation_functions(args.correlation_files,
+                                        save=args.save)
         elif args.command == "export":
             _export_tables(args.correlation_file)
         elif args.command == "show":
@@ -620,17 +626,22 @@ def _export_tables(filename):
                                      data["ic_rate"].real)).T)
 
 
-def _plot_correlation_functions(filenames):
+def _plot_correlation_functions(filenames, save=""):
     """Render C(t), k~ic(t) and k_IC(E) for one or more results files.
 
     Capability parity with the reference's plot command (cli.py:630-706);
     the figure layout and rate readout are this framework's own: the rate at
     the adiabatic gap is marked with an annotated point instead of guide
     lines, and each file's propagator/trajectory count rides in its legend
-    entry rather than a figure title.
+    entry rather than a figure title. With `save` the figure goes to a file
+    (forcing the Agg backend so it works without a display) instead of an
+    interactive window.
     """
     from semiclassical_tpu import units
 
+    if save:
+        import matplotlib
+        matplotlib.use("Agg", force=True)
     import matplotlib.pyplot as plt
 
     fig, (ax_auto, ax_ic, ax_rate) = plt.subplots(
@@ -679,7 +690,11 @@ def _plot_correlation_functions(filenames):
     ax_rate.set_xlim(0.0, 10.0)
     ax_rate.legend(fontsize=8)
     fig.tight_layout()
-    plt.show()
+    if save:
+        fig.savefig(save, dpi=150)
+        print(f"figure written to {save}")
+    else:
+        plt.show()
 
 
 def _show_information(filename):

@@ -113,6 +113,15 @@ def test_cli_plot_smoke(results_file, monkeypatch):
     plt.close("all")
 
 
+def test_cli_plot_save(results_file, tmp_path):
+    """`semi plot --save fig.png` writes the figure to a file through the
+    real main() path — the headless-TPU-VM workflow (no display needed,
+    no plt.show monkeypatching)."""
+    out = tmp_path / "fig.png"
+    cli.main(["plot", results_file, "--save", str(out)])
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_console_entry_point():
     import shutil
     import subprocess
