@@ -688,7 +688,8 @@ def _plot_correlation_functions(filenames, save=""):
     ax_rate.set_ylabel(r"$k_{IC}(E)$ / s$^{-1}$")
     ax_rate.set_yscale("log")
     ax_rate.set_xlim(0.0, 10.0)
-    ax_rate.legend(fontsize=8)
+    if ax_rate.get_legend_handles_labels()[0]:
+        ax_rate.legend(fontsize=8)
     fig.tight_layout()
     if save:
         fig.savefig(save, dpi=150)
