@@ -129,15 +129,13 @@ def run_semiclassical(name, s, ntraj, key, snapshots):
     return {"cauto": cauto, "kic": kic, "psi": psi_sc, "norm": norm}
 
 
-def summarize(name, s, r, snapshots):
+def summarize(name, s, r, snapshots, psi_qm):
     """Print the error summary block for one propagator; returns pass/fail."""
     dc = np.abs(r["cauto"] - s["autocorrelation_qm"])
     kic_scale = np.abs(s["ic_correlation_qm"]).max()
     dk = np.abs(r["kic"] - s["ic_correlation_qm"]) / kic_scale
     x_sub = s["x"][::10]
     dx = x_sub[1] - x_sub[0]
-    psi_qm = split_operator_wavefunctions(s["v"], s["x"], s["times"],
-                                          s["phi0"], set(snapshots))
     print(f"\n=== {name} vs exact QM ===")
     print(f"  max |C_sc(t) - C_qm(t)|          : {dc.max():.4f}")
     print(f"  max |k_sc(t) - k_qm(t)| / max|k| : {dk.max():.4f}")
@@ -152,7 +150,7 @@ def summarize(name, s, r, snapshots):
     return ok
 
 
-def write_plots(outdir, s, results, snapshots):
+def write_plots(outdir, s, results, snapshots, psi_qm):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -179,8 +177,6 @@ def write_plots(outdir, s, results, snapshots):
     print(f"wrote {path}")
 
     x_sub = s["x"][::10]
-    psi_qm = split_operator_wavefunctions(s["v"], s["x"], s["times"],
-                                          s["phi0"], set(snapshots))
     ncol = len(snapshots)
     fig, axes = plt.subplots(1, ncol, figsize=(4 * ncol, 3.2), sharey=True)
     for ax, step in zip(np.atleast_1d(axes), sorted(snapshots)):
@@ -222,12 +218,17 @@ def main(argv=None):
         results[name] = run_semiclassical(name, s, args.ntraj, args.key,
                                           snapshots)
 
+    # one split-operator QM wavefunction propagation shared by every
+    # summary block and the plots (it costs as much as a propagator run)
+    psi_qm = split_operator_wavefunctions(s["v"], s["x"], s["times"],
+                                          s["phi0"], set(snapshots))
+
     all_ok = True
     for name, r in results.items():
-        all_ok &= summarize(name, s, r, snapshots)
+        all_ok &= summarize(name, s, r, snapshots, psi_qm)
 
     if args.plot:
-        write_plots(args.plot, s, results, snapshots)
+        write_plots(args.plot, s, results, snapshots, psi_qm)
 
     return 0 if all_ok else 1
 

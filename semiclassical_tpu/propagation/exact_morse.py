@@ -306,7 +306,12 @@ def build_morse_map(state: TrajState, potential, dt):
 
     # route unbound / near-separatrix rows to the RK4 side-channel
     n = state.q.shape[0]
-    bad_row = np.asarray(jnp.max(eps, axis=1) > EPS_EXACT)
+    # ~all(<=) rather than max(>) so NaN/inf rows are routed to the RK4
+    # side-channel too (NaN > x is False, which would otherwise leave a
+    # NaN trajectory in the closed-form branch as a spurious full-weight
+    # rest state; under RK4 it NaN-poisons the energies and the energy
+    # guard raises — same behavior as integrator='rk4' on the same input)
+    bad_row = np.asarray(~jnp.all(eps <= EPS_EXACT, axis=1))
     n_bad = int(bad_row.sum())
     if n_bad > RK4_FRACTION_MAX * n:
         raise ValueError(
@@ -454,6 +459,10 @@ def morse_map_state(pack: MorseMapPack, carry: MorseMapCarry,
         # its own observable pipeline and merges once per scan, see
         # morse_map_merge.)
         sub = carry.sub
+        # the unused grad/Hessian outputs are elementwise for the Morse
+        # potential (the only one the exact map supports) and DCE'd under
+        # jit — this costs one extra (n_sub, d) exp over the small routed
+        # bucket, not a Hessian assembly
         vpot, _, _ = potential.local_expansion(sub.q)
         tkin = 0.5 * jnp.sum(sub.p.astype(w) ** 2, axis=1)
         en = en + jnp.sum(tkin.astype(jnp.float64)

@@ -750,6 +750,27 @@ class HermanKlukPropagator:
             self._integ_pot_ref = potential
         return (self._integ_pack, self._integ_carry, self._integ_bc_sub)
 
+    def _integ_refresh_bc(self):
+        """Rebuild the bc-derived exact-map fields from the current
+        ``self._bc``.  Needed when `_require_nacq` replaces the batch
+        constants *after* the pack was built (e.g. `initial_conditions`
+        without a potential, then `step`, then `propagate`): the masked
+        scan/sub constants captured the nacq-less bc and would silently
+        zero k~ic(t).  The pack/carry stay valid — they depend only on
+        (state, potential, dt), and the sub trackers are re-seeded from
+        `self.trackers` at every build, never from the bc."""
+        pack = self._integ_pack
+        if pack is None:
+            return
+        if pack.has_sub:
+            self._integ_bc_scan = self._mask_routed_rows(
+                self._bc, pack.row_bad)
+            self._integ_bc_sub = self._gather_sub_rows(
+                self._bc, pack.sub_idx, pack.n_bad)
+        else:
+            self._integ_bc_scan = self._bc
+            self._integ_bc_sub = None
+
     def _integ_invalidate(self):
         """Drop the cached exact-map pack/carry (the state was replaced
         from outside the scan — new batch or checkpoint restore)."""
@@ -902,6 +923,7 @@ class HermanKlukPropagator:
         if not self._bc_has_nacq:
             self._bc = with_nacq(self.params, self._bc, potential)
             self._bc_has_nacq = True
+            self._integ_refresh_bc()
 
     # -- fast path ------------------------------------------------------------
 

@@ -1222,6 +1222,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             n1q, n2q = _nac_terms(potential, self._bc.base.qi)
             self._bc = replace(self._bc, base=base, n1q=n1q, n2q=n2q)
             self._bc_has_nacq = True
+            self._integ_refresh_bc()
 
     def _make_trackers(self, state):
         c2 = hk_prefactor_det(self.params.hk, state)

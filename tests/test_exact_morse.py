@@ -306,6 +306,63 @@ def test_exact_too_hot_ensemble_raises():
         em.build_morse_map(state, pot, 1.0)
 
 
+def test_exact_nan_rows_are_routed_not_rest_stated():
+    """A NaN trajectory (state surgery / bad restart input) must be routed
+    to the RK4 side-channel like any other non-exact-safe row — NOT
+    silently replaced by a full-weight rest state in the closed-form
+    branch (NaN > eps is False, so a max()-based routing test would miss
+    it while the element-wise cleanup zeroes its coordinates)."""
+    pot, q0, Gamma, omega = _morse(d=3, seed=21)
+    rng = np.random.default_rng(1)
+    n = 64
+    qi = q0[None, :] + rng.normal(0, 0.2, (n, 3)) / np.sqrt(omega)[None, :]
+    pi = rng.normal(0, 0.4, (n, 3)) * np.sqrt(omega)[None, :]
+    qi[9, 1] = np.nan
+    state = TrajState.initial(jnp.asarray(qi), jnp.asarray(pi),
+                              diag_monodromy=True)
+    pack, carry = em.build_morse_map(state, pot, 1.0)
+    assert pack.has_sub
+    assert bool(np.asarray(pack.row_bad)[9])
+    # the poisoned row is -inf-masked out of the closed-form observables
+    # (it rides the RK4 side-channel, where NaN propagates fail-loud into
+    # the energy trace exactly as under integrator='rk4')
+    st, en = em.morse_map_state(pack, carry, jnp.float64, pot)
+    assert not np.isfinite(float(en))
+
+
+def test_exact_deferred_nacq_refreshes_map_constants():
+    """initial_conditions(potential=None) defers the NAC-dependent batch
+    constants (and yields a dense-monodromy state — the exact map then
+    refuses, fail-loud).  But state surgery to a diagonal-monodromy state
+    is a supported pattern, and if the exact-map pack is then built by
+    step() BEFORE the first propagate() supplies the nacq, the masked
+    scan constants must be refreshed — pre-fix they froze the nacq-less
+    bc and k~ic(t) came out identically zero."""
+    pot, q0, Gamma, _ = _morse(d=4, seed=22)
+
+    def run(defer):
+        prop = HermanKlukPropagator(Gamma, Gamma, integrator="exact")
+        prop.initial_conditions(q0, np.zeros(4), Gamma, ntraj=128, key=3,
+                                potential=None if defer else pot)
+        if defer:
+            # same q/p, diagonal monodromy (identical to the non-defer
+            # initial state); nacq stays deferred until propagate()
+            prop.state = TrajState.initial(
+                prop.state.q, prop.state.p, dtype=prop.traj_dtype,
+                mono_dtype=prop.dtype, diag_monodromy=True,
+                compensated=prop.compensated)
+        prop.step(pot, 1.0)          # builds the exact-map pack + bc caches
+        return prop.propagate(pot, 1.0, 20)
+
+    c_a, k_a = run(defer=False)
+    c_b, k_b = run(defer=True)
+    assert np.abs(np.asarray(k_a)).max() > 0
+    np.testing.assert_allclose(np.asarray(k_b), np.asarray(k_a),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_a),
+                               rtol=0, atol=1e-12)
+
+
 def test_exact_requires_morse():
     pot = NonHarmonicPotential.create(dim=3)
     Gamma = np.eye(3)
