@@ -2,6 +2,8 @@
 """Spectral analysis: lineshape functions and the FFT rate pipeline."""
 
 from semiclassical_tpu.analysis.broadening import gaussian, lorentzian, voigtian
-from semiclassical_tpu.analysis.rates import rate_from_correlation
+from semiclassical_tpu.analysis.rates import (rate_from_correlation,
+                                              spectrum_from_correlation)
 
-__all__ = ["gaussian", "lorentzian", "voigtian", "rate_from_correlation"]
+__all__ = ["gaussian", "lorentzian", "voigtian", "rate_from_correlation",
+           "spectrum_from_correlation"]

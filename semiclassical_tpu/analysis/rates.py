@@ -7,12 +7,51 @@ nothing for a TPU to accelerate, and keeping it framework-free lets `semi
 rates` run without any accelerator attached.
 """
 
-__all__ = ["rate_from_correlation"]
+__all__ = ["rate_from_correlation", "spectrum_from_correlation"]
 
 import numpy as np
 from numpy import fft
 
 from semiclassical_tpu import units
+
+
+def _fourier_transform(times, correlation, lineshape):
+    """Windowed Fourier integral I(E) = \\int dt e^{i E t} f~(t) c(t) of a
+    correlation function sampled on [0, t_max], extended Hermitianly to
+    negative times. Shared core of the rate and spectrum pipelines.
+
+    Returns (energies, integral) with energies fftshifted to ascending
+    order, in Hartree; the integral is in atomic units of 1/energy times
+    the correlation's units.
+    """
+    times = np.asarray(times)
+    correlation = np.asarray(correlation)
+    assert times.min() == 0.0, "time grid `times` should start at 0.0"
+    assert times.shape == correlation.shape, (
+        "arrays `times` and `correlation` should have the same length"
+    )
+    nt = times.shape[0]
+    t_max = times.max()
+    n_sym = 2 * nt - 1
+
+    # Hermitian extension onto [-t_max, t_max]: only t >= 0 was propagated;
+    # c(-t) = c(t)^* because the transform I(E) is real.
+    t_sym = np.linspace(-t_max, t_max, n_sym)
+    corr_sym = np.concatenate([correlation[:0:-1].conj(), correlation])
+
+    # The integration window is the lineshape times a cos^2 (Gibbs) taper
+    # that takes the integrand smoothly to zero at +-t_max, suppressing the
+    # ringing of the hard cutoff. The taper also means a too-short t_max
+    # yields results set by the window, not the physics — t_max must be
+    # converged until the transformed curve stops moving.
+    window = lineshape(t_sym) * np.cos(0.5 * np.pi * t_sym / t_max) ** 2
+
+    # ifft computes the mean over the grid (1/N included); scaling by the
+    # window length 2 t_max turns that mean into the Fourier integral
+    integral = 2 * t_max * fft.ifft(fft.ifftshift(window * corr_sym))
+
+    energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=2.0 * t_max / n_sym)
+    return fft.fftshift(energies), fft.fftshift(integral)
 
 
 def rate_from_correlation(times, correlation, lineshape):
@@ -39,32 +78,54 @@ def rate_from_correlation(times, correlation, lineshape):
     rate : complex ndarray (2 nt - 1,)
         rate constant k(E) (s^-1)
     """
-    times = np.asarray(times)
-    correlation = np.asarray(correlation)
-    assert times.min() == 0.0, "time grid `times` should start at 0.0"
-    assert times.shape == correlation.shape, (
-        "arrays `times` and `correlation` should have the same length"
-    )
-    nt = times.shape[0]
-    t_max = times.max()
-    n_sym = 2 * nt - 1
+    energies, rate = _fourier_transform(times, correlation, lineshape)
+    rate = rate * 1.0e15 / units.autime_to_fs   # a.u.(time)^-1 -> s^-1
+    return energies, rate
 
-    # Hermitian extension onto [-t_max, t_max]: only t >= 0 was propagated;
-    # k(-t) = k(t)^* because k(E) is real.
-    t_sym = np.linspace(-t_max, t_max, n_sym)
-    corr_sym = np.concatenate([correlation[:0:-1].conj(), correlation])
 
-    # The integration window is the lineshape times a cos^2 (Gibbs) taper
-    # that takes the integrand smoothly to zero at +-t_max, suppressing the
-    # ringing of the hard cutoff. The taper also means a too-short t_max
-    # yields rates set by the window, not the physics — t_max must be
-    # converged until the rate curve stops moving.
-    window = lineshape(t_sym) * np.cos(0.5 * np.pi * t_sym / t_max) ** 2
+def spectrum_from_correlation(times, correlation, lineshape):
+    """Spectral density S(E) as the Fourier transform of the wavepacket
+    autocorrelation C(t) = <phi(0)|phi(t)> (the Heller time-dependent
+    picture of electronic spectroscopy):
 
-    # ifft computes the mean over the grid (1/N included); scaling by the
-    # window length 2 t_max turns that mean into the Fourier integral
-    rate = 2 * t_max * fft.ifft(fft.ifftshift(window * corr_sym))
-    rate *= 1.0e15 / units.autime_to_fs     # a.u.(time)^-1 -> s^-1
+        S(E) = \\int dt  e^{i E t / hbar} f~(t) C(t)
 
-    energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=2.0 * t_max / n_sym)
-    return fft.fftshift(energies), fft.fftshift(rate)
+    where f~(t) is a time-domain lineshape in this package's convention
+    (g(0) = 1/(2 pi), i.e. the Fourier factor rides in the lineshape so
+    that the broadened delta-function transforms to a unit-area energy
+    distribution — broadening.py). With the framework's stored phase convention
+    C(t) = e^{i E0 t} <phi|e^{-iHt}|phi> = sum_n |<phi|n>|^2 e^{-i(E_n-E0)t},
+    the peaks of S(E) sit at the transition energies E_n - E0 of the
+    propagated surface relative to the wavepacket's reference energy E0
+    (the zero-point energy of the initial surface), with Franck-Condon
+    areas |<phi|n>|^2. For a normalized wavepacket, S integrates to
+    f~(0) C(0) ~= 1, so S is the Franck-Condon-weighted density of states
+    — multiply by the squared transition dipole and the usual omega
+    prefactor for an absorption cross-section.
+
+    The reference implementation transforms only the IC correlation
+    (reference rates.py:20-82); the autocorrelation it stores in every
+    `.npz` is never spectrally resolved. This is the missing half of the
+    analysis: the same pipeline applied to C(t).
+
+    Parameters
+    ----------
+    times : real ndarray (nt,)
+        equidistant time grid covering [0, t_max]
+    correlation : complex ndarray (nt,)
+        autocorrelation C(t) on the time grid
+    lineshape : callable
+        time-domain lineshape f~(t), called as ``lineshape(times)``
+
+    Returns
+    -------
+    energies : real ndarray (2 nt - 1,)
+        energy E (Hartree)
+    spectrum : complex ndarray (2 nt - 1,)
+        spectral density S(E) (1/Hartree); real up to FFT noise
+    """
+    # the time-domain lineshapes already carry the 1/(2 pi) of the Fourier
+    # convention (broadening.py: g(0) = 1/(2 pi), normalized so that their
+    # energy-domain transform integrates to 1) — the windowed integral IS
+    # the spectral density, integrating to f~(0)-normalized C(0) = 1
+    return _fourier_transform(times, correlation, lineshape)

@@ -6,6 +6,7 @@ documents of the form {"semi": [task, ...]} and the subcommands
 
     semi dynamics input.json     run semiclassical dynamics
     semi rates input.json        Fourier-transform correlations into k_IC(E)
+    semi spectrum input.json     Fourier-transform C(t) into the FC spectrum
     semi plot correlations.npz   plot correlation/rate curves
     semi export correlations.npz export .dat tables
     semi show correlations.npz   print summary
@@ -68,6 +69,13 @@ def main(argv=None):
         help="compute Fermi's-Golden-Rule rates by Fourier transforming "
              "correlation functions")
     parser_rates.add_argument("json_input", type=str, metavar="input.json")
+
+    parser_spectrum = subparsers.add_parser(
+        "spectrum",
+        help="compute the (Franck-Condon) absorption spectrum by Fourier "
+             "transforming the wavepacket autocorrelation")
+    parser_spectrum.add_argument("json_input", type=str,
+                                 metavar="input.json")
 
     parser_plot = subparsers.add_parser(
         "plot", help="plot correlation and rate functions from .npz files")
@@ -143,6 +151,16 @@ def main(argv=None):
             for task in config["semi"]:
                 if task["task"] == "rates":
                     calculate_rates(task)
+        elif args.command == "spectrum":
+            with open(args.json_input) as f:
+                config = json.load(f)
+            logger.info(f"run all 'spectrum' tasks in {args.json_input}")
+            from semiclassical_tpu.config import validate_task
+            for task in config["semi"]:
+                validate_task(task)
+            for task in config["semi"]:
+                if task["task"] == "spectrum":
+                    calculate_spectrum(task)
         elif args.command == "plot":
             _plot_correlation_functions(args.correlation_files,
                                         save=args.save)
@@ -522,15 +540,11 @@ def _export_trajectories(filename, atomic_numbers, propagator, append=False):
     logger.info(f"positions and momenta saved to '{filename}'")
 
 
-def calculate_rates(task):
-    """Run one `rates` task (reference cli.py:519-570)."""
+def _build_lineshape(task):
+    """Resolve the (broadening, hwhmG_ev, hwhmL_ev) task keywords into the
+    time-domain lineshape callable. Returns (name, hwhmG, hwhmL, callable)."""
     from semiclassical_tpu import units
-    from semiclassical_tpu.analysis import (
-        gaussian,
-        lorentzian,
-        rate_from_correlation,
-        voigtian,
-    )
+    from semiclassical_tpu.analysis import gaussian, lorentzian, voigtian
 
     hwhmG = task.get("hwhmG_ev", 0.01)
     hwhmL = task.get("hwhmL_ev", 1.0e-6)
@@ -547,6 +561,15 @@ def calculate_rates(task):
     else:
         raise ValueError("'broadening' should be one of 'gaussian', "
                          "'lorentzian' or 'voigtian'")
+    return broad, hwhmG, hwhmL, lineshape
+
+
+def calculate_rates(task):
+    """Run one `rates` task (reference cli.py:519-570)."""
+    from semiclassical_tpu import units
+    from semiclassical_tpu.analysis import rate_from_correlation
+
+    broad, hwhmG, hwhmL, lineshape = _build_lineshape(task)
 
     corr_file = task.get("correlations", "correlations.npz")
     rate_file = task.get("rates", "correlations.npz")
@@ -575,6 +598,49 @@ def calculate_rates(task):
 
     logger.info(f"rates are saved to '{rate_file}'")
     np.savez(rate_file, **data)
+
+
+def calculate_spectrum(task):
+    """Run one `spectrum` task: Fourier-transform the stored wavepacket
+    autocorrelation C(t) into the Franck-Condon spectral density S(E)
+    (analysis.spectrum_from_correlation). BEYOND-reference capability —
+    the reference stores C(t) in every npz but only ever transforms the
+    IC correlation (reference rates.py:20-82, cli.py:519-570)."""
+    from semiclassical_tpu import units
+    from semiclassical_tpu.analysis import spectrum_from_correlation
+
+    broad, hwhmG, hwhmL, lineshape = _build_lineshape(task)
+
+    corr_file = task.get("correlations", "correlations.npz")
+    out_file = task.get("spectra", corr_file)
+
+    logger.info(f"compute the spectrum from the autocorrelation "
+                f"in '{corr_file}'")
+    data = dict(np.load(corr_file))
+    logger.info(f"trajectories : {data['trajectories']}")
+    logger.info(
+        f"time grid    : tmin= "
+        f"{data['times'].min() * units.autime_to_fs:.4f} tmax= "
+        f"{data['times'].max() * units.autime_to_fs:.4f} steps= "
+        f"{len(data['times'])}")
+
+    energies, spectrum = spectrum_from_correlation(
+        data["times"], data["autocorrelation"], lineshape)
+
+    data["spectrum_broadening"] = broad
+    data["spectrum_hwhmG"] = hwhmG
+    data["spectrum_hwhmL"] = hwhmL
+    data["spectrum_energies"] = energies
+    data["spectrum"] = spectrum.real
+
+    # with the stored phase convention C(t) = e^{i ZPE t} <phi|e^{-iHt}|phi>
+    # the spectrum's peaks sit at E_n - ZPE; report the integral as the
+    # normalization diagnostic (= f~(0) C(0) ~ 1 for a converged ensemble)
+    total = float(np.trapezoid(spectrum.real, energies))
+    logger.info(f"spectrum normalization integral S(E) dE = {total:.6f} "
+                f"(~1 for a normalized wavepacket)")
+    logger.info(f"the spectrum is saved to '{out_file}'")
+    np.savez(out_file, **data)
 
 
 def _export_tables(filename):
@@ -624,6 +690,24 @@ def _export_tables(filename):
             f.write("# Energy/eV                kIC(E)/s^-1\n")
             np.savetxt(f, np.vstack((data["energies"] * units.hartree_to_ev,
                                      data["ic_rate"].real)).T)
+    if "spectrum" in data:
+        logger.info(f"exporting the spectrum from '{filename}' to "
+                    "'spectrum.dat'")
+        with open("spectrum.dat", "w") as f:
+            f.write("# Franck-Condon spectral density S(E) of the "
+                    "wavepacket autocorrelation\n")
+            f.write(f"# propagator: {propagator}   trajectories: "
+                    f"{trajectories}\n")
+            f.write(f"# broadening: {data['spectrum_broadening']}   HWHM_G: "
+                    f"{data['spectrum_hwhmG']} eV   HWHM_L: "
+                    f"{data['spectrum_hwhmL']} eV\n")
+            f.write("# energies are relative to the initial-state "
+                    "zero-point energy\n")
+            f.write("#\n")
+            f.write("# Energy/eV                S(E)/(1/Hartree)\n")
+            np.savetxt(f, np.vstack(
+                (data["spectrum_energies"] * units.hartree_to_ev,
+                 data["spectrum"].real)).T)
 
 
 def _plot_correlation_functions(filenames, save=""):
@@ -730,6 +814,15 @@ def _show_information(filename):
     else:
         print("  No rates found in file, you have to compute them first "
               "with the command 'semi rates'.")
+    if "spectrum" in data:
+        en = data["spectrum_energies"]
+        sp = data["spectrum"]
+        imax = np.argmax(sp)
+        total = float(np.trapezoid(sp, en))
+        print(f"""
+    spectrum maximum (eV, rel. ZPE) : {en[imax] * units.hartree_to_ev:6.3f}
+    spectrum integral (~1)          : {total:8.5f}
+        """)
 
 
 if __name__ == "__main__":

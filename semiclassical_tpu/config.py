@@ -69,6 +69,15 @@ _RATES_SCHEMA = {
     "rates": str,
 }
 
+_SPECTRUM_SCHEMA = {
+    "task": str,
+    "broadening": str,            # gaussian | lorentzian | voigtian
+    "hwhmG_ev": (int, float),
+    "hwhmL_ev": (int, float),
+    "correlations": str,
+    "spectra": str,
+}
+
 _RESULTS_SCHEMA = {
     "correlations": str,
     "overwrite": bool,
@@ -77,6 +86,7 @@ _RESULTS_SCHEMA = {
 _REQUIRED = {
     "dynamics": ("potential", "num_steps", "time_step_fs", "results"),
     "rates": (),
+    "spectrum": (),
 }
 
 
@@ -98,11 +108,13 @@ def _check_keys(section, data, schema):
 def validate_task(task):
     """Validate one task dict; raises ConfigurationError on hard errors."""
     kind = task.get("task")
-    if kind not in ("dynamics", "rates"):
+    if kind not in ("dynamics", "rates", "spectrum"):
         raise ConfigurationError(
-            f"task type should be 'dynamics' or 'rates', got {kind!r}")
+            f"task type should be 'dynamics', 'rates' or 'spectrum', "
+            f"got {kind!r}")
 
-    schema = _DYNAMICS_SCHEMA if kind == "dynamics" else _RATES_SCHEMA
+    schema = {"dynamics": _DYNAMICS_SCHEMA, "rates": _RATES_SCHEMA,
+              "spectrum": _SPECTRUM_SCHEMA}[kind]
     _check_keys(f"'{kind}' task", task, schema)
 
     for key in _REQUIRED[kind]:

@@ -81,8 +81,10 @@ def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new):
     assert abs(data["autocorrelation"][0] - 1.0) < 1.0e-3
 
     data["trajectories"] = ntraj_tot
-    # rates are no longer up to date
+    # derived spectra/rates are no longer up to date
     data.pop("ic_rate", None)
+    data.pop("spectrum", None)
+    data.pop("spectrum_energies", None)
     # atomic replace: this file is the coarse-grained recovery unit — a
     # crash mid-write must not corrupt the accumulator
     tmp = filename + ".tmp.npz"
