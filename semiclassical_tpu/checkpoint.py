@@ -160,7 +160,7 @@ class CheckpointedRun:
 
     def __init__(self, filename, propagator, potential, dt, nt,
                  energy0_es=0.0, segment=500, chunk=100, repetition=0,
-                 progress=None):
+                 progress=None, error_bars=False):
         self.filename = filename
         self.propagator = propagator
         self.potential = potential
@@ -178,11 +178,17 @@ class CheckpointedRun:
         # called after every completed segment with (steps_done, nt,
         # cauto_segment)
         self.progress = progress
+        # per-step Monte-Carlo standard errors ride along in the partial
+        # arrays (each step's stderr is produced by the segment that
+        # computed it — nothing to merge across segments)
+        self.error_bars = error_bars
 
     def run(self):
         nt = self.nt
         cauto = np.zeros(nt, dtype=complex)
         kic = np.zeros(nt, dtype=complex)
+        err_c = np.zeros(nt) if self.error_bars else None
+        err_k = np.zeros(nt) if self.error_bars else None
         done = 0
         if os.path.exists(self.filename):
             stored_rep = int(peek_checkpoint(self.filename)
@@ -194,18 +200,32 @@ class CheckpointedRun:
                     done = int(partial["steps_done"])
                     cauto[:done] = partial["cauto"][:done]
                     kic[:done] = partial["kic"][:done]
+                    if self.error_bars and "cauto_err" in partial:
+                        err_c[:done] = partial["cauto_err"][:done]
+                        err_k[:done] = partial["kic_err"][:done]
         while done < nt:
             seg = min(self.segment, nt - done)
-            c_seg, k_seg = self.propagator.propagate(
+            out = self.propagator.propagate(
                 self.potential, self.dt, seg, energy0_es=self.en0,
-                chunk=self.chunk)
+                chunk=self.chunk, error_bars=self.error_bars)
+            if self.error_bars:
+                c_seg, k_seg, e_c, e_k = out
+                err_c[done:done + seg] = e_c
+                err_k[done:done + seg] = e_k
+            else:
+                c_seg, k_seg = out
             cauto[done:done + seg] = c_seg
             kic[done:done + seg] = k_seg
             done += seg
-            save_propagator_state(
-                self.filename, self.propagator,
-                partial={"cauto": cauto, "kic": kic, "steps_done": done,
-                         "repetition": self.repetition})
+            partial = {"cauto": cauto, "kic": kic, "steps_done": done,
+                       "repetition": self.repetition}
+            if self.error_bars:
+                partial["cauto_err"] = err_c
+                partial["kic_err"] = err_k
+            save_propagator_state(self.filename, self.propagator,
+                                  partial=partial)
             if self.progress is not None:
                 self.progress(done, nt, c_seg)
+        if self.error_bars:
+            return cauto, kic, err_c, err_k
         return cauto, kic

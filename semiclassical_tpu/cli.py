@@ -428,6 +428,9 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         potential = _pt_replace(potential, contract_dtype="float32")
 
     calc_norm_every = task.get("calc_norm_every", 0)
+    # per-step Monte-Carlo standard errors (two extra fused reductions per
+    # step in the scan; npz keys autocorrelation_stderr/ic_correlation_stderr)
+    error_bars = bool(task.get("error_bars", False))
     assert not (ckpt_file and calc_norm_every > 0), (
         "'checkpoint' and 'calc_norm_every' cannot be combined")
 
@@ -468,12 +471,15 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             logger.info(f" time/fs= {t_fs:9.4f}  step {done}/{total}  "
                         f"|C(t)|= {np.abs(cauto_seg[-1]):.6f}")
 
+        err_c = err_k = None
         try:
             if calc_norm_every > 0:
                 # segmented propagation with norm monitoring in between —
                 # the convergence diagnostic of reference cli.py:418-429
                 cauto = np.zeros(nt, dtype=complex)
                 kic = np.zeros(nt, dtype=complex)
+                if error_bars:
+                    err_c, err_k = np.zeros(nt), np.zeros(nt)
                 done = 0
                 while done < nt:
                     seg = min(calc_norm_every, nt - done)
@@ -481,8 +487,15 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     logger.info(
                         f" time/fs= {times[done] * units.autime_to_fs:.4f}  "
                         f"norm= {norm:9.6f}")
-                    c_seg, k_seg = propagator.propagate(
-                        potential, dt, seg, energy0_es=en_zpt)
+                    out = propagator.propagate(
+                        potential, dt, seg, energy0_es=en_zpt,
+                        error_bars=error_bars)
+                    if error_bars:
+                        c_seg, k_seg, e_c, e_k = out
+                        err_c[done:done + seg] = e_c
+                        err_k[done:done + seg] = e_k
+                    else:
+                        c_seg, k_seg = out
                     cauto[done:done + seg] = c_seg
                     kic[done:done + seg] = k_seg
                     done += seg
@@ -492,12 +505,21 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     ckpt_file, propagator, potential, dt=dt, nt=nt,
                     energy0_es=en_zpt, segment=ckpt_every,
                     chunk=scan_chunk,
-                    repetition=repetition, progress=_progress)
-                cauto, kic = run.run()
+                    repetition=repetition, progress=_progress,
+                    error_bars=error_bars)
+                if error_bars:
+                    cauto, kic, err_c, err_k = run.run()
+                else:
+                    cauto, kic = run.run()
             else:
-                cauto, kic = propagator.propagate(
+                out = propagator.propagate(
                     potential, dt, nt, energy0_es=en_zpt,
-                    chunk=scan_chunk, progress=_progress)
+                    chunk=scan_chunk, progress=_progress,
+                    error_bars=error_bars)
+                if error_bars:
+                    cauto, kic, err_c, err_k = out
+                else:
+                    cauto, kic = out
 
             if np.isnan(cauto).any() or np.isnan(kic).any():
                 raise RuntimeError("encountered NaN's in correlations")
@@ -525,8 +547,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             # the two loses this batch (the reference's recovery granularity)
             # but can never double-count it on resume
             os.remove(ckpt_file)
-        total = accumulate_results(filename, cauto, kic, propagator.ntraj)
+        total = accumulate_results(filename, cauto, kic, propagator.ntraj,
+                                   autocorrelation_stderr=err_c,
+                                   ic_correlation_stderr=err_k)
         logger.info(f"  accumulated trajectories: {total}")
+        if err_c is not None:
+            logger.info(f"  MC stderr: |C(t)| max {err_c.max():.2e}, "
+                        f"k~ic max {err_k.max():.2e}")
 
 
 def _export_trajectories(filename, atomic_numbers, propagator, append=False):
@@ -743,6 +770,12 @@ def _plot_correlation_functions(filenames, save=""):
             line, = ax.plot(t_fs, curve.real, label=f"Re {tag}")
             ax.plot(t_fs, curve.imag, ls="--", alpha=0.6,
                     color=line.get_color(), label=f"Im {tag}")
+            # Monte-Carlo error band (error_bars task keyword): the stderr
+            # of the complex mean, drawn around the real part
+            if key + "_stderr" in data:
+                err = data[key + "_stderr"]
+                ax.fill_between(t_fs, curve.real - err, curve.real + err,
+                                color=line.get_color(), alpha=0.2, lw=0)
 
         if "ic_rate" in data:
             en_ev = data["energies"] * units.hartree_to_ev

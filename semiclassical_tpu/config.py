@@ -56,6 +56,7 @@ _DYNAMICS_SCHEMA = {
     "scan_chunk": int,
     "checkpoint": str,            # mid-batch checkpoint file ("" = off)
     "checkpoint_every": int,      # steps between checkpoint snapshots
+    "error_bars": bool,           # per-step MC standard errors in the npz
     "export_initial": str,
     "export_final": str,
 }

@@ -8,7 +8,10 @@ validate against the other, and the accumulate-on-restart semantics
 mechanism — a killed job loses at most one repetition batch.
 
 Schema (dynamics): propagator, times, autocorrelation, ic_correlation,
-adiabatic_gap, zero_point_energy, trajectories.
+adiabatic_gap, zero_point_energy, trajectories — plus, with the
+`error_bars` task keyword, autocorrelation_stderr / ic_correlation_stderr
+(per-step Monte-Carlo standard errors; beyond-reference keys that readers
+of the reference format simply ignore).
 Rates adds: broadening, hwhmG, hwhmL, energies (>= 0 slice), ic_rate.
 """
 
@@ -55,13 +58,22 @@ def init_results(filename, propagator_name, times, adiabatic_gap,
         )
 
 
-def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new):
+def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new,
+                       autocorrelation_stderr=None,
+                       ic_correlation_stderr=None):
     """Merge one repetition into the running trajectory-weighted average
 
         F(1:n+m) = (n F(1:n) + m F(n:n+m)) / (n + m)
 
     and invalidate stale derived rates (reference cli.py:442-476).
     Returns the updated total trajectory count.
+
+    Optional Monte-Carlo standard errors of the batch means merge in
+    quadrature with the same trajectory weights,
+    sigma^2 = sum_k (n_k / N)^2 sigma_k^2 (batches are independent). The
+    stderr keys survive only while *every* contributing batch supplies
+    them — accumulating a batch without error bars into a file that has
+    them (or vice versa) drops the keys rather than storing a wrong value.
     """
     data = dict(np.load(filename))
     ntraj_old = int(data["trajectories"])
@@ -74,6 +86,25 @@ def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new):
         ntraj_new * np.asarray(ic_correlation)
         + ntraj_old * data["ic_correlation"]
     ) / ntraj_tot
+
+    have_old = "autocorrelation_stderr" in data
+    have_new = autocorrelation_stderr is not None
+    if have_new and (have_old or ntraj_old == 0):
+        old_e2_auto = (data["autocorrelation_stderr"] ** 2
+                       if have_old else 0.0)
+        old_e2_ic = (data["ic_correlation_stderr"] ** 2
+                     if have_old else 0.0)
+        data["autocorrelation_stderr"] = np.sqrt(
+            (ntraj_new**2 * np.asarray(autocorrelation_stderr) ** 2
+             + ntraj_old**2 * old_e2_auto) / ntraj_tot**2)
+        data["ic_correlation_stderr"] = np.sqrt(
+            (ntraj_new**2 * np.asarray(ic_correlation_stderr) ** 2
+             + ntraj_old**2 * old_e2_ic) / ntraj_tot**2)
+    elif have_old or have_new:
+        logger.warning("error bars present for only part of the "
+                       "accumulated batches — dropping the stderr keys")
+        data.pop("autocorrelation_stderr", None)
+        data.pop("ic_correlation_stderr", None)
 
     # C(0) = <phi(0)|phi(0)> must be 1: the initial conditions are sampled
     # from the normalised density |<qi,pi|q0,p0>|^2 (reference cli.py:460-467)

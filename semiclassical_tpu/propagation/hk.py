@@ -497,12 +497,60 @@ def hk_autocorr_qp(params: HKParams, bc: BatchConstants, state: TrajState,
     return fac * c_signed * complex_exp(total_re, total_im, c_signed.dtype)
 
 
+def _m2_factored(x_qp):
+    """Second moment sum_i |x_i|^2 of per-trajectory complex contributions
+    in the scale-safe factored form (mx, ssq) with sum|x|^2 = mx^2 * ssq.
+
+    The device-side contributions ride at 1/weight_scale (the Monte-Carlo
+    scale is exponentiated on the HOST — package numerics contract), so at
+    high mode counts |x_i| is ~1e-23 and |x_i|^2 underflows float32
+    outright. Normalizing by the L-infinity maximum before squaring keeps
+    every squared operand O(1); the single mx^2 * weight_scale^2 squaring
+    happens on the host at f64. mx == 0 (all contributions zero) yields
+    (0, 0)."""
+    a = jnp.real(x_qp)
+    b = jnp.imag(x_qp)
+    mx = jnp.maximum(jnp.max(jnp.abs(a)), jnp.max(jnp.abs(b)))
+    den = jnp.where(mx > 0, mx, 1).astype(a.dtype)
+    ya = a / den
+    yb = b / den
+    return mx, jnp.sum(ya * ya + yb * yb)
+
+
+def _m2_combine(a, b):
+    """Combine two factored second moments over DISJOINT trajectory sets
+    (the exact-integrator side-channel): rescale both to the common
+    maximum and add the normalized sums."""
+    mxa, sa = a
+    mxb, sb = b
+    mx = jnp.maximum(mxa, mxb)
+    den = jnp.where(mx > 0, mx, 1).astype(sa.dtype)
+    return mx, sa * (mxa / den) ** 2 + sb * (mxb / den) ** 2
+
+
+def _obs_combine(obs, obs_s, with_m2):
+    """Combine observable tuples of two disjoint trajectory pipelines:
+    sums add; factored second moments go through _m2_combine."""
+    if not with_m2:
+        return tuple(a + b for a, b in zip(obs, obs_s))
+    ca, ki, m2c, m2k = obs
+    ca_s, ki_s, m2c_s, m2k_s = obs_s
+    return (ca + ca_s, ki + ki_s,
+            _m2_combine(m2c, m2c_s), _m2_combine(m2k, m2k_s))
+
+
 def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
-                   c_signed, potential):
+                   c_signed, potential, with_m2=False):
     """(C_auto(t), k~ic(t)) reduced over the trajectory batch, *without* the
     excited-state dynamical phase exp(i t E0/hbar) — that phase is separable
     and applied on the host (reference propagators.py:809-911 applies it per
-    call with a per-observable E0)."""
+    call with a per-observable E0).
+
+    With `with_m2` additionally returns the second moments
+    sum_i |cauto_qp_i|^2 and sum_i |kic_qp_i|^2 — two extra fused
+    reductions that turn into per-step Monte-Carlo standard errors on the
+    host (BEYOND-reference: the reference's only convergence diagnostic is
+    the O(n^2) norm, reference propagators.py:734-782)."""
     cauto_qp = hk_autocorr_qp(params, bc, state, c_signed)
     cauto = jnp.sum(cauto_qp)
 
@@ -511,6 +559,8 @@ def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
                        -1.0, xc=state.qc)
     kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
     kic = jnp.sum(kic_qp)
+    if with_m2:
+        return cauto, kic, _m2_factored(cauto_qp), _m2_factored(kic_qp)
     return cauto, kic
 
 
@@ -574,7 +624,7 @@ def check_energy_conservation(energies, change_tol=1.0e-2):
 # ---------------------------------------------------------------------------
 
 def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
-             integ=None):
+             integ=None, with_m2=False):
     if integ is not None:
         # exact-Morse integrator: the scan carries only the phase pack
         # (th + residual + t_rel); the full TrajState is materialised
@@ -594,19 +644,22 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
             c2 = hk_prefactor_det(params, state)
             tracker = tracker.update(c2)
             c = jnp.sqrt(c2) * tracker.signs
-            cauto, kic = hk_observables(params, bc, state, c, potential)
+            obs = hk_observables(params, bc, state, c, potential,
+                                 with_m2=with_m2)
             if pack.has_sub:
                 (tr_s,) = mcarry.sub_trackers
                 c2s = hk_prefactor_det(params, mcarry.sub)
                 tr_s = tr_s.update(c2s)
                 cs = jnp.sqrt(c2s) * tr_s.signs
-                ca_s, ki_s = hk_observables(params, bc_sub, mcarry.sub,
-                                            cs, potential)
-                cauto = cauto + ca_s
-                kic = kic + ki_s
+                # the routed rows are -inf-masked in `bc` and disjoint
+                # from `bc_sub`'s live rows, so sums combine by addition
+                # and the factored second moments by _m2_combine
+                obs_s = hk_observables(params, bc_sub, mcarry.sub,
+                                       cs, potential, with_m2=with_m2)
+                obs = _obs_combine(obs, obs_s, with_m2)
                 mcarry = replace(mcarry, sub_trackers=(tr_s,))
             mcarry = morse_map_advance(pack, mcarry, dt, potential)
-            return (tracker, mcarry), (cauto, kic, en)
+            return (tracker, mcarry), obs + (en,)
 
         (tracker, mcarry), outs = lax.scan(body, (tracker0, mcarry0), None,
                                            length=nt)
@@ -622,16 +675,17 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
         c2 = hk_prefactor_det(params, state)
         tracker = tracker.update(c2)
         c = jnp.sqrt(c2) * tracker.signs
-        cauto, kic = hk_observables(params, bc, state, c, potential)
+        obs = hk_observables(params, bc, state, c, potential,
+                             with_m2=with_m2)
         new_state, en = rk4_step(state, potential, dt)
-        return (new_state, tracker, t + dt), (cauto, kic, en)
+        return (new_state, tracker, t + dt), obs + (en,)
 
     (state, tracker, t), outs = lax.scan(body, (state0, tracker0, t0), None,
                                          length=nt)
     return (state, tracker, t, None), outs
 
 
-_hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt",))
+_hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt", "with_m2"))
 
 
 # ---------------------------------------------------------------------------
@@ -817,7 +871,7 @@ class HermanKlukPropagator:
         routed rows (the authoritative, checkpointed branch-cut state)."""
         return (gather_tracker(self.trackers["prefactorC"], sub_idx),)
 
-    def _scan(self, potential, dt, nt):
+    def _scan(self, potential, dt, nt, with_m2=False):
         integ = self._integ(potential, dt)
         bc = self._bc if integ is None else self._integ_bc_scan
         return _hk_scan_jit(
@@ -825,7 +879,7 @@ class HermanKlukPropagator:
             self.trackers["prefactorC"],
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
-            integ,
+            integ, with_m2,
         )
 
     def _store_scan_carry(self, carry):
@@ -928,7 +982,7 @@ class HermanKlukPropagator:
     # -- fast path ------------------------------------------------------------
 
     def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True,
-                  chunk=None, progress=None):
+                  chunk=None, progress=None, error_bars=False):
         """Run `nt` steps as jitted scans.
 
         Returns (autocorrelation (nt,), ic_correlation (nt,)) as numpy
@@ -947,6 +1001,14 @@ class HermanKlukPropagator:
         scan covers a whole chunk, so the natural reporting unit is the
         chunk). The per-step batch-mean energies of the run are kept in
         `self.last_energies` for metrics.
+
+        `error_bars=True` additionally accumulates the per-trajectory
+        second moments in-scan (two fused reductions per step) and returns
+        a 4-tuple (cauto, kic, cauto_stderr, kic_stderr): the per-step
+        Monte-Carlo standard errors of the complex means,
+        sigma = sqrt(sum_i |x_i|^2 - |sum_i x_i|^2 / n). They are invariant
+        under the separable host phase. BEYOND-reference: the reference's
+        only convergence diagnostic is the opt-in O(n^2) norm.
         """
         self._require_nacq(potential)
         t_start = self.t
@@ -957,9 +1019,23 @@ class HermanKlukPropagator:
             if nt % chunk:
                 segments.append(nt % chunk)
         cauto_parts, kic_parts, energy_parts = [], [], []
+        m2c_parts, m2k_parts = [], []
         done = 0
         for seg in segments:
-            carry, (cauto, kic, energies) = self._scan(potential, dt, seg)
+            carry, outs = self._scan(potential, dt, seg,
+                                     with_m2=error_bars)
+            if error_bars:
+                cauto, kic, (mxc, ssqc), (mxk, ssqk), energies = outs
+                # factored (mx, ssq) second moments: all squaring happens
+                # on the host at f64 with the magnitude factored out —
+                # the device values ride at 1/weight_scale and their
+                # squares underflow f32 (see _m2_factored)
+                m2c_parts.append((np.asarray(mxc, dtype=np.float64),
+                                  np.asarray(ssqc, dtype=np.float64)))
+                m2k_parts.append((np.asarray(mxk, dtype=np.float64),
+                                  np.asarray(ssqk, dtype=np.float64)))
+            else:
+                cauto, kic, energies = outs
             self._store_scan_carry(carry)
             cauto_parts.append(from_device(cauto))
             kic_parts.append(from_device(kic))
@@ -975,6 +1051,24 @@ class HermanKlukPropagator:
         ts = t_start + float(dt) * np.arange(nt)
         phase = np.exp(1j / hbar * energy0_es * ts)
         scale = self._bc.weight_scale
+        if error_bars:
+            n = self.state.q.shape[0]
+
+            def _stderr(parts, total_unscaled):
+                # sigma = scale * mx * sqrt(ssq - (|sum|/mx)^2 / n): the
+                # magnitude mx is factored out of every square so neither
+                # the tiny device values (1/weight_scale) nor scale^2 are
+                # ever squared directly
+                mx = np.concatenate([p[0] for p in parts])
+                ssq = np.concatenate([p[1] for p in parts])
+                safe = np.where(mx > 0, mx, 1.0)
+                rel = np.abs(total_unscaled) / safe
+                var = np.maximum(ssq - rel**2 / n, 0.0)
+                return np.where(mx > 0, scale * mx * np.sqrt(var), 0.0)
+
+            err_c = _stderr(m2c_parts, cauto)
+            err_k = _stderr(m2k_parts, kic)
+            return cauto * scale * phase, kic * scale * phase, err_c, err_k
         return cauto * scale * phase, kic * scale * phase
 
     # -- granular (reference-shaped) API --------------------------------------

@@ -47,6 +47,8 @@ from semiclassical_tpu.propagation.hk import (
     HKParams,
     HermanKlukPropagator,
     _build_hk_params,
+    _m2_factored,
+    _obs_combine,
     check_energy_conservation,
     complex_dtype,
     hk_autocorr_qp,
@@ -797,8 +799,11 @@ def wm_scan_derived(params: WMParams, bc: WMBatchConstants, state: TrajState,
 
 def wm_scan_observables(params: WMParams, bc: WMBatchConstants,
                         state: TrajState, sd: WMScanDerived, c_signed,
-                        signs_A, signs_M):
-    """(C_auto(t), k~ic(t)) from the scalar forms (eqns. 85, 89-100)."""
+                        signs_A, signs_M, with_m2=False):
+    """(C_auto(t), k~ic(t)) from the scalar forms (eqns. 85, 89-100).
+    With `with_m2` additionally the second moments sum|x_i|^2 of both
+    per-trajectory contribution vectors (Monte-Carlo standard errors on
+    the host — see hk.hk_observables)."""
     cdtype = c_signed.dtype
     pref = (params.auto_pref.astype(cdtype) * c_signed
             * phase_exp(state.S / hbar, cdtype)
@@ -810,6 +815,9 @@ def wm_scan_observables(params: WMParams, bc: WMBatchConstants,
             + times_i((sd.PQ_dQ - sd.Pq_dq) / hbar))
     cauto_qp = pref * jnp.exp(expo)
     kic_qp = (1.0 / hbar**2) * sd.kfac * cauto_qp
+    if with_m2:
+        return (jnp.sum(cauto_qp), jnp.sum(kic_qp),
+                _m2_factored(cauto_qp), _m2_factored(kic_qp))
     return jnp.sum(cauto_qp), jnp.sum(kic_qp)
 
 
@@ -1112,7 +1120,7 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
 # ---------------------------------------------------------------------------
 
 def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
-             integ=None):
+             integ=None, with_m2=False):
     if integ is not None:
         # exact-Morse integrator — see _hk_scan and propagation/exact_morse
         pack, mcarry0, bc_sub = integ
@@ -1127,8 +1135,9 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
             sd = wm_scan_derived(params, bc, state, potential)
             tr_A = tr_A.update(sd.detA)
             tr_M = tr_M.update(sd.detM)
-            cauto, kic = wm_scan_observables(params, bc, state, sd, c,
-                                             tr_A.signs, tr_M.signs)
+            obs = wm_scan_observables(params, bc, state, sd, c,
+                                      tr_A.signs, tr_M.signs,
+                                      with_m2=with_m2)
             if pack.has_sub:
                 (ts_c, ts_A, ts_M) = mcarry.sub_trackers
                 sub = mcarry.sub
@@ -1138,13 +1147,15 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
                 sds = wm_scan_derived(params, bc_sub, sub, potential)
                 ts_A = ts_A.update(sds.detA)
                 ts_M = ts_M.update(sds.detM)
-                ca_s, ki_s = wm_scan_observables(params, bc_sub, sub, sds,
-                                                 cs, ts_A.signs, ts_M.signs)
-                cauto = cauto + ca_s
-                kic = kic + ki_s
+                # disjoint -inf-masked row sets: sums add, factored
+                # second moments combine via _m2_combine (see _hk_scan)
+                obs_s = wm_scan_observables(params, bc_sub, sub, sds,
+                                            cs, ts_A.signs, ts_M.signs,
+                                            with_m2=with_m2)
+                obs = _obs_combine(obs, obs_s, with_m2)
                 mcarry = replace(mcarry, sub_trackers=(ts_c, ts_A, ts_M))
             mcarry = morse_map_advance(pack, mcarry, dt, potential)
-            return ((tr_c, tr_A, tr_M), mcarry), (cauto, kic, en)
+            return ((tr_c, tr_A, tr_M), mcarry), obs + (en,)
 
         (trackers, mcarry), outs = lax.scan(body, (trackers0, mcarry0),
                                             None, length=nt)
@@ -1166,17 +1177,17 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
         sd = wm_scan_derived(params, bc, state, potential)
         tr_A = tr_A.update(sd.detA)
         tr_M = tr_M.update(sd.detM)
-        cauto, kic = wm_scan_observables(params, bc, state, sd, c,
-                                         tr_A.signs, tr_M.signs)
+        obs = wm_scan_observables(params, bc, state, sd, c,
+                                  tr_A.signs, tr_M.signs, with_m2=with_m2)
         new_state, en = rk4_step(state, potential, dt)
-        return (new_state, (tr_c, tr_A, tr_M), t + dt), (cauto, kic, en)
+        return (new_state, (tr_c, tr_A, tr_M), t + dt), obs + (en,)
 
     (state, trackers, t), outs = lax.scan(body, (state0, trackers0, t0),
                                           None, length=nt)
     return (state, trackers, t, None), outs
 
 
-_wm_scan_jit = jax.jit(_wm_scan, static_argnames=("nt",))
+_wm_scan_jit = jax.jit(_wm_scan, static_argnames=("nt", "with_m2"))
 
 
 # ---------------------------------------------------------------------------
@@ -1257,7 +1268,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                 gather_tracker(self.trackers["detA"], sub_idx),
                 gather_tracker(self.trackers["detM"], sub_idx))
 
-    def _scan(self, potential, dt, nt):
+    def _scan(self, potential, dt, nt, with_m2=False):
         integ = self._integ(potential, dt)
         bc = self._bc if integ is None else self._integ_bc_scan
         trackers0 = (self.trackers["prefactorC"], self.trackers["detA"],
@@ -1266,7 +1277,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
             self.params, bc, potential, self.state, trackers0,
             jnp.asarray(self.t, dtype=self._scalar_dtype),
             jnp.asarray(dt, dtype=self._scalar_dtype), nt,
-            integ,
+            integ, with_m2,
         )
 
     def _store_scan_carry(self, carry):
