@@ -47,10 +47,17 @@ def _fourier_transform(times, correlation, lineshape):
     window = lineshape(t_sym) * np.cos(0.5 * np.pi * t_sym / t_max) ** 2
 
     # ifft computes the mean over the grid (1/N included); scaling by the
-    # window length 2 t_max turns that mean into the Fourier integral
-    integral = 2 * t_max * fft.ifft(fft.ifftshift(window * corr_sym))
+    # periodic window length n_sym * dt turns that mean into the Riemann
+    # sum dt * sum_k x_k, i.e. the Fourier integral. The matching DFT bin
+    # energies use the *actual* sample spacing dt = 2 t_max / (n_sym - 1).
+    # The reference labels both with 2 t_max / n_sym (rates.py:57,77) —
+    # a relative bias of 1/(n_sym - 1) (~0.1% at nt=500) on every energy
+    # and amplitude; this implementation uses the exact grid, a deliberate
+    # sub-tolerance deviation from bit-parity (PARITY.md).
+    dt = times[1] - times[0]
+    integral = n_sym * dt * fft.ifft(fft.ifftshift(window * corr_sym))
 
-    energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=2.0 * t_max / n_sym)
+    energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=dt)
     return fft.fftshift(energies), fft.fftshift(integral)
 
 

@@ -155,7 +155,12 @@ class CheckpointedRun:
     >>> run = CheckpointedRun("ckpt.npz", propagator, potential,
     ...                       dt=dt, nt=2000, energy0_es=en0,
     ...                       segment=200)
-    >>> cauto, kic = run.run()   # resumes from ckpt.npz if present
+    >>> cauto, kic, err_c, err_k = run.run()  # resumes from ckpt.npz
+    ...                                       # if present
+
+    ``run()`` always returns the 4-tuple; the stderr arrays are ``None``
+    when ``error_bars`` is off — or when a resumed checkpoint predates the
+    request (see run()).
     """
 
     def __init__(self, filename, propagator, potential, dt, nt,
@@ -187,8 +192,7 @@ class CheckpointedRun:
         nt = self.nt
         cauto = np.zeros(nt, dtype=complex)
         kic = np.zeros(nt, dtype=complex)
-        err_c = np.zeros(nt) if self.error_bars else None
-        err_k = np.zeros(nt) if self.error_bars else None
+        error_bars = self.error_bars
         done = 0
         if os.path.exists(self.filename):
             stored_rep = int(peek_checkpoint(self.filename)
@@ -200,15 +204,30 @@ class CheckpointedRun:
                     done = int(partial["steps_done"])
                     cauto[:done] = partial["cauto"][:done]
                     kic[:done] = partial["kic"][:done]
-                    if self.error_bars and "cauto_err" in partial:
-                        err_c[:done] = partial["cauto_err"][:done]
-                        err_k[:done] = partial["kic_err"][:done]
+                    if error_bars and "cauto_err" not in partial:
+                        # the checkpoint predates the error_bars request —
+                        # the first `done` steps have no stderr, and zeros
+                        # would be *wrong* values. Per the drop-keys
+                        # contract, disable stderr for this repetition
+                        # instead of storing fabricated ones.
+                        import logging
+                        logging.getLogger("semiclassical_tpu").warning(
+                            "resumed checkpoint '%s' was written without "
+                            "error_bars — Monte-Carlo stderr is unavailable "
+                            "for this repetition (restart it to get error "
+                            "bars)", self.filename)
+                        error_bars = False
+        err_c = np.zeros(nt) if error_bars else None
+        err_k = np.zeros(nt) if error_bars else None
+        if error_bars and done:
+            err_c[:done] = partial["cauto_err"][:done]
+            err_k[:done] = partial["kic_err"][:done]
         while done < nt:
             seg = min(self.segment, nt - done)
             out = self.propagator.propagate(
                 self.potential, self.dt, seg, energy0_es=self.en0,
-                chunk=self.chunk, error_bars=self.error_bars)
-            if self.error_bars:
+                chunk=self.chunk, error_bars=error_bars)
+            if error_bars:
                 c_seg, k_seg, e_c, e_k = out
                 err_c[done:done + seg] = e_c
                 err_k[done:done + seg] = e_k
@@ -219,13 +238,11 @@ class CheckpointedRun:
             done += seg
             partial = {"cauto": cauto, "kic": kic, "steps_done": done,
                        "repetition": self.repetition}
-            if self.error_bars:
+            if error_bars:
                 partial["cauto_err"] = err_c
                 partial["kic_err"] = err_k
             save_propagator_state(self.filename, self.propagator,
                                   partial=partial)
             if self.progress is not None:
                 self.progress(done, nt, c_seg)
-        if self.error_bars:
-            return cauto, kic, err_c, err_k
-        return cauto, kic
+        return cauto, kic, err_c, err_k

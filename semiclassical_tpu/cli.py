@@ -507,10 +507,9 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     chunk=scan_chunk,
                     repetition=repetition, progress=_progress,
                     error_bars=error_bars)
-                if error_bars:
-                    cauto, kic, err_c, err_k = run.run()
-                else:
-                    cauto, kic = run.run()
+                # err_c/err_k come back None when error_bars is off or the
+                # resumed checkpoint predates the request (drop-keys contract)
+                cauto, kic, err_c, err_k = run.run()
             else:
                 out = propagator.propagate(
                     potential, dt, nt, energy0_es=en_zpt,

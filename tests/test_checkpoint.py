@@ -48,7 +48,7 @@ def test_resume_matches_uninterrupted(tmp_path):
     prop_c = _make_prop(pot, key=999)
     run_c = CheckpointedRun(ckpt, prop_c, pot, dt=dt, nt=nt,
                             energy0_es=en0, segment=10)
-    cauto_c, kic_c = run_c.run()
+    cauto_c, kic_c, _, _ = run_c.run()
 
     np.testing.assert_allclose(cauto_c, cauto_a, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(kic_c, kic_a, rtol=1e-12, atol=1e-14)

@@ -182,6 +182,37 @@ def test_checkpointed_run_error_bars(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-14)
 
 
+def test_resume_without_stored_stderr_drops_error_bars(tmp_path):
+    """A checkpoint written WITHOUT error_bars and resumed WITH them must
+    not fabricate stderr=0 for the already-completed steps: the stderr
+    outputs come back None so the npz keys are dropped (the drop-keys
+    contract), with a warning."""
+    from semiclassical_tpu.checkpoint import CheckpointedRun
+
+    pot, Gamma, q0 = _as_model()
+    ckpt = str(tmp_path / "ck.npz")
+
+    # first life of the job: no error bars, killed after one segment
+    prop = _hk(pot, Gamma, q0, 256, key=9)
+    seg = prop.propagate(pot, DT, 2, chunk=2)
+    from semiclassical_tpu.checkpoint import save_propagator_state
+    cauto = np.zeros(6, dtype=complex)
+    kic = np.zeros(6, dtype=complex)
+    cauto[:2], kic[:2] = seg
+    save_propagator_state(ckpt, prop, partial={"cauto": cauto, "kic": kic,
+                                               "steps_done": 2})
+
+    # second life: the user switched error_bars on
+    prop2 = _hk(pot, Gamma, q0, 256, key=9)
+    run2 = CheckpointedRun(ckpt, prop2, pot, dt=DT, nt=6, segment=2,
+                           chunk=2, error_bars=True)
+    c2, k2, e_c, e_k = run2.run()
+    assert e_c is None and e_k is None
+    plain = _hk(pot, Gamma, q0, 256, key=9).propagate(pot, DT, 6, chunk=2)
+    np.testing.assert_allclose(c2, plain[0], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(k2, plain[1], rtol=1e-12, atol=1e-14)
+
+
 def test_accumulate_quadrature(tmp_path):
     from semiclassical_tpu.io import results
 
