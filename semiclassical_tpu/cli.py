@@ -638,7 +638,7 @@ def calculate_spectrum(task):
     broad, hwhmG, hwhmL, lineshape = _build_lineshape(task)
 
     corr_file = task.get("correlations", "correlations.npz")
-    out_file = task.get("spectra", corr_file)
+    out_file = task.get("spectra", task.get("spectrum", corr_file))
 
     logger.info(f"compute the spectrum from the autocorrelation "
                 f"in '{corr_file}'")

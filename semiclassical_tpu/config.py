@@ -77,6 +77,9 @@ _SPECTRUM_SCHEMA = {
     "hwhmL_ev": (int, float),
     "correlations": str,
     "spectra": str,
+    # alias for `spectra` matching the task's name (the rates task's output
+    # key is likewise its own name) — `spectra` wins when both are given
+    "spectrum": str,
 }
 
 _RESULTS_SCHEMA = {

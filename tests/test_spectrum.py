@@ -125,6 +125,20 @@ def test_cli_spectrum_task(synthetic_npz, monkeypatch, capsys):
     assert "spectrum integral" in out
 
 
+def test_cli_spectrum_output_key_alias(synthetic_npz, monkeypatch):
+    """`spectrum` is accepted as an alias for the `spectra` output-file
+    keyword (the task's own name, like the rates task's `rates` key)."""
+    from semiclassical_tpu import cli
+
+    monkeypatch.chdir(synthetic_npz)
+    config = {"semi": [{"task": "spectrum", "spectrum": "out.npz"}]}
+    with open("input.json", "w") as f:
+        json.dump(config, f)
+    assert cli.main(["spectrum", "input.json"]) in (None, 0)
+    data = dict(np.load("out.npz"))
+    assert "spectrum" in data and "spectrum_energies" in data
+
+
 def test_new_dynamics_invalidates_spectrum(synthetic_npz, monkeypatch):
     """Accumulating new dynamics into the npz must drop the stale derived
     spectrum (same protocol as ic_rate, reference cli.py:473-474)."""
