@@ -7,7 +7,8 @@ nothing for a TPU to accelerate, and keeping it framework-free lets `semi
 rates` run without any accelerator attached.
 """
 
-__all__ = ["rate_from_correlation", "spectrum_from_correlation"]
+__all__ = ["rate_from_correlation", "spectrum_from_correlation",
+           "fourier_stderr"]
 
 import numpy as np
 from numpy import fft
@@ -59,6 +60,53 @@ def _fourier_transform(times, correlation, lineshape):
 
     energies = 2.0 * np.pi * fft.fftfreq(n_sym, d=dt)
     return fft.fftshift(energies), fft.fftshift(integral)
+
+
+def fourier_stderr(times, stderr, lineshape):
+    """Monte-Carlo standard error of the windowed Fourier integral computed
+    by `_fourier_transform`, propagated from the per-step standard errors
+    of the correlation function (the `error_bars` task keyword).
+
+    The transform is linear in c(t), so the propagation is exact given the
+    error model: per-step errors are taken as independent across steps and
+    isotropic in the complex plane (Var[Re] = Var[Im] = sigma_t^2 / 2,
+    where sigma_t is the stored total complex stderr). The Hermitian
+    extension c(-t) = c(t)^* reuses each t > 0 sample, so its contribution
+    to Re I(E) is 2 w_t Re(c_t e^{iEt}) — fully correlated, not a second
+    independent draw. Under isotropy the resulting variance
+
+        Var[Re I(E)] = dt^2 (w_0^2 sigma_0^2 / 2
+                             + 2 sum_{t>0} w_t^2 sigma_t^2)
+
+    is independent of E: one scalar describes the band for every energy.
+    The independence across steps is an approximation (all steps share the
+    same trajectory ensemble); the band is a convergence scale indicator,
+    like the per-step stderr it derives from.
+
+    Parameters
+    ----------
+    times : real ndarray (nt,)
+        equidistant time grid covering [0, t_max]
+    stderr : real ndarray (nt,)
+        per-step total complex standard error of the correlation
+    lineshape : callable
+        the same time-domain lineshape passed to the transform
+
+    Returns
+    -------
+    sigma : float
+        standard error of Re I(E), constant over the energy grid (same
+        units as the transform output)
+    """
+    times = np.asarray(times)
+    stderr = np.asarray(stderr)
+    assert times.shape == stderr.shape
+    dt = times[1] - times[0]
+    t_max = times.max()
+    window = lineshape(times) * np.cos(0.5 * np.pi * times / t_max) ** 2
+    w2s2 = (window * stderr) ** 2
+    var = dt * dt * (0.5 * w2s2[0] + 2.0 * w2s2[1:].sum())
+    return float(np.sqrt(var))
 
 
 def rate_from_correlation(times, correlation, lineshape):

@@ -622,6 +622,18 @@ def calculate_rates(task):
     data["energies"] = energies[energies >= 0.0]
     data["ic_rate"] = ic_rate[energies >= 0.0].real
 
+    if "ic_correlation_stderr" in data:
+        # the transform is linear: the per-step MC stderr of k~ic(t)
+        # (error_bars keyword) propagates exactly to one scalar band for
+        # the whole rate curve (analysis.fourier_stderr), through the same
+        # 2 pi and s^-1 conversions as the rate itself
+        from semiclassical_tpu.analysis import fourier_stderr
+        sigma = fourier_stderr(data["times"], data["ic_correlation_stderr"],
+                               lineshape)
+        sigma *= 2.0 * np.pi * 1.0e15 / units.autime_to_fs
+        data["ic_rate_stderr"] = sigma
+        logger.info(f"rate MC stderr (per energy point): {sigma:.3e} s^-1")
+
     logger.info(f"rates are saved to '{rate_file}'")
     np.savez(rate_file, **data)
 
@@ -658,6 +670,15 @@ def calculate_spectrum(task):
     data["spectrum_hwhmL"] = hwhmL
     data["spectrum_energies"] = energies
     data["spectrum"] = spectrum.real
+
+    if "autocorrelation_stderr" in data:
+        # linear transform: the per-step MC stderr of C(t) propagates to
+        # one scalar band for the whole spectrum (analysis.fourier_stderr)
+        from semiclassical_tpu.analysis import fourier_stderr
+        sigma = fourier_stderr(data["times"], data["autocorrelation_stderr"],
+                               lineshape)
+        data["spectrum_stderr"] = sigma
+        logger.info(f"spectrum MC stderr (per energy point): {sigma:.3e}")
 
     # with the stored phase convention C(t) = e^{i ZPE t} <phi|e^{-iHt}|phi>
     # the spectrum's peaks sit at E_n - ZPE; report the integral as the
@@ -842,6 +863,9 @@ def _show_information(filename):
     position of maximum (eV) : {data['energies'][imax] * units.hartree_to_ev:6.3f}
     maximum of IC rate (s-1) : {data['ic_rate'][imax]:6.3e}
         """)
+        if "ic_rate_stderr" in data:
+            print(f"    rate MC stderr (s-1)     : "
+                  f"{float(data['ic_rate_stderr']):6.3e}")
         print("IC rates are only reliable around the maximum of the curve.")
     else:
         print("  No rates found in file, you have to compute them first "
@@ -855,6 +879,9 @@ def _show_information(filename):
     spectrum maximum (eV, rel. ZPE) : {en[imax] * units.hartree_to_ev:6.3f}
     spectrum integral (~1)          : {total:8.5f}
         """)
+        if "spectrum_stderr" in data:
+            print(f"    spectrum MC stderr (1/Ha)       : "
+                  f"{float(data['spectrum_stderr']):6.3e}")
 
 
 if __name__ == "__main__":

@@ -114,8 +114,10 @@ def accumulate_results(filename, autocorrelation, ic_correlation, ntraj_new,
     data["trajectories"] = ntraj_tot
     # derived spectra/rates are no longer up to date
     data.pop("ic_rate", None)
+    data.pop("ic_rate_stderr", None)
     data.pop("spectrum", None)
     data.pop("spectrum_energies", None)
+    data.pop("spectrum_stderr", None)
     # atomic replace: this file is the coarse-grained recovery unit — a
     # crash mid-write must not corrupt the accumulator
     tmp = filename + ".tmp.npz"

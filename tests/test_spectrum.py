@@ -125,6 +125,41 @@ def test_cli_spectrum_task(synthetic_npz, monkeypatch, capsys):
     assert "spectrum integral" in out
 
 
+def test_fourier_stderr_matches_empirical_spread():
+    """fourier_stderr must predict the empirical realization-to-realization
+    spread of Re S(E) when the correlation carries iid isotropic complex
+    noise with known per-step stderr (the transform is linear, so under
+    that error model the propagation is exact and E-independent)."""
+    from semiclassical_tpu.analysis import fourier_stderr
+
+    rng = np.random.default_rng(3)
+    nt = 512
+    times = np.linspace(0.0, 12.0 * 2.0 * np.pi / OMEGA, nt)
+    corr = _analytic_autocorrelation(times)
+    lineshape = gaussian(OMEGA / 10.0)
+    # per-step total complex stderr, varying over t (incl. exactly 0 at
+    # t=0, as HK importance sampling produces)
+    sig = 0.01 * (1.0 + np.sin(0.002 * times) ** 2)
+    sig[0] = 0.0
+
+    predicted = fourier_stderr(times, sig, lineshape)
+
+    nreal = 400
+    # isotropic complex noise: Var[Re] = Var[Im] = sig^2/2
+    noise = (rng.standard_normal((nreal, nt))
+             + 1j * rng.standard_normal((nreal, nt))) * (sig / np.sqrt(2.0))
+    spectra = np.stack([
+        spectrum_from_correlation(times, corr + n, lineshape)[1].real
+        for n in noise])
+    empirical = spectra.std(axis=0)
+
+    # the spread is constant over E; compare its median to the prediction
+    assert predicted > 0
+    assert abs(np.median(empirical) / predicted - 1.0) < 0.15
+    # and no energy bin deviates wildly from the constant-band model
+    assert empirical.max() / predicted < 1.6
+
+
 def test_cli_spectrum_output_key_alias(synthetic_npz, monkeypatch):
     """`spectrum` is accepted as an alias for the `spectra` output-file
     keyword (the task's own name, like the rates task's `rates` key)."""
@@ -137,6 +172,45 @@ def test_cli_spectrum_output_key_alias(synthetic_npz, monkeypatch):
     assert cli.main(["spectrum", "input.json"]) in (None, 0)
     data = dict(np.load("out.npz"))
     assert "spectrum" in data and "spectrum_energies" in data
+
+
+def test_cli_stderr_propagates_to_rate_and_spectrum(synthetic_npz,
+                                                    monkeypatch):
+    """With per-step stderr stored (error_bars dynamics), the rates and
+    spectrum tasks store the propagated scalar bands — and accumulating
+    new dynamics invalidates them with the other derived keys."""
+    from semiclassical_tpu import cli
+    from semiclassical_tpu.io import results
+
+    monkeypatch.chdir(synthetic_npz)
+    data = dict(np.load("correlations.npz"))
+    times = data["times"]
+    data["autocorrelation_stderr"] = np.full_like(times, 1e-3)
+    data["ic_correlation_stderr"] = np.full_like(times, 2e-3)
+    data["adiabatic_gap"] = 2.0 * OMEGA
+    np.savez("correlations.npz", **data)
+
+    config = {"semi": [
+        {"task": "rates", "broadening": "gaussian",
+         "hwhmG_ev": 0.01},
+        {"task": "spectrum", "broadening": "gaussian",
+         "hwhmG_ev": 0.01},
+    ]}
+    with open("input.json", "w") as f:
+        json.dump(config, f)
+    assert cli.main(["rates", "input.json"]) in (None, 0)
+    assert cli.main(["spectrum", "input.json"]) in (None, 0)
+
+    out = dict(np.load("correlations.npz"))
+    assert float(out["ic_rate_stderr"]) > 0
+    assert float(out["spectrum_stderr"]) > 0
+
+    results.accumulate_results(
+        "correlations.npz",
+        _analytic_autocorrelation(times),
+        np.zeros_like(times, dtype=complex), ntraj_new=500)
+    out = dict(np.load("correlations.npz"))
+    assert "ic_rate_stderr" not in out and "spectrum_stderr" not in out
 
 
 def test_new_dynamics_invalidates_spectrum(synthetic_npz, monkeypatch):
