@@ -108,7 +108,13 @@ def test_cli_plot_smoke(results_file, monkeypatch):
     import matplotlib.pyplot as plt
 
     monkeypatch.setattr(plt, "show", lambda: None)
+    # stderr keys exercise the error-band branches of all three panels
+    data = dict(np.load(results_file))
+    data["autocorrelation_stderr"] = np.full_like(data["times"], 1e-3)
+    data["ic_correlation_stderr"] = np.full_like(data["times"], 1e-10)
+    np.savez(results_file, **data)
     cli.calculate_rates({"task": "rates"})
+    assert "ic_rate_stderr" in np.load(results_file).files
     cli._plot_correlation_functions([results_file])
     plt.close("all")
 
