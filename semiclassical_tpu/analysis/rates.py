@@ -101,6 +101,10 @@ def fourier_stderr(times, stderr, lineshape):
     times = np.asarray(times)
     stderr = np.asarray(stderr)
     assert times.shape == stderr.shape
+    # same grid contract as _fourier_transform: equidistant, starting at 0
+    # (the variance bookkeeping below mirrors its symmetric extension, and
+    # assumes the lineshape is even — true for all built-in lineshapes)
+    assert times.min() == 0.0, "time grid must start at t=0"
     dt = times[1] - times[0]
     t_max = times.max()
     window = lineshape(times) * np.cos(0.5 * np.pi * times / t_max) ** 2

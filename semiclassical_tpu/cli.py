@@ -801,13 +801,16 @@ def _plot_correlation_functions(filenames, save=""):
             en_ev = data["energies"] * units.hartree_to_ev
             line, = ax_rate.plot(en_ev, data["ic_rate"], label=tag)
             # the propagated MC band is one scalar for the whole curve
-            # (fourier_stderr) — clip at 0 for the log axis
+            # (fourier_stderr); on the log axis a 0 lower edge would render
+            # down to the axis floor and swamp the tails, so mask the band
+            # wherever the curve falls below the stderr
             if "ic_rate_stderr" in data:
                 err = float(data["ic_rate_stderr"])
+                lower = data["ic_rate"] - err
+                lower = np.where(lower > 0.0, lower, np.nan)
                 ax_rate.fill_between(
-                    en_ev, np.maximum(data["ic_rate"] - err, 0.0),
-                    data["ic_rate"] + err, color=line.get_color(),
-                    alpha=0.2, lw=0)
+                    en_ev, lower, data["ic_rate"] + err,
+                    color=line.get_color(), alpha=0.2, lw=0)
             gap = float(data["adiabatic_gap"])
             if np.isfinite(gap):
                 idx = int(np.argmin(np.abs(data["energies"] - gap)))
