@@ -206,17 +206,26 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     jac = jac.reshape(B, D, 3 * N)
 
     # The Hessian weights divide by x_dists and contract the descriptor
-    # differences against themselves: here the Gram expansion's
-    # cancellation noise WOULD be amplified (q/x_dists is near-singular
-    # close to training geometries), so this block alone materialises the
-    # explicit differences at the Hessian dtype — the O(B M D) build is
-    # negligible next to the O(B M D 3N) contractions below, and the
-    # energy/gradient path above stays matmul-only.
+    # differences against themselves: the q/x_dists weights are
+    # near-singular close to training geometries and amplify cancellation
+    # noise, so this block materialises the explicit differences at the
+    # Hessian dtype — the O(B M D) build is negligible next to the
+    # O(B M D 3N) contractions below, and the energy/gradient path above
+    # stays matmul-only. (An expanded form XJ = xs.jac - xs_train @ jac
+    # that avoids the (B, M, D) tensor was MEASURED to breach the 1e-4
+    # mixed-Hessian gate — its f32 cancellation noise on XJ reaches
+    # ~1e-4 relative; don't retry without a compensation scheme.)
     x_diffs_h = xs_h[:, None, :] - cast(params.xs_train)[None]   # (B, M, D)
-    # same 1e-10 floor as the expanded x_dists: a query exactly ON a
-    # training geometry has XJ = 0, and 0/0 would poison the whole row
-    x_dists_h = jnp.maximum(jnp.linalg.norm(x_diffs_h, axis=-1),
-                            jnp.asarray(1e-10, dtype=ht))        # (B, M)
+    if params.xs_train.dtype == jnp.float64 and ht != jnp.float64:
+        # mixed mode: the f64 Gram-expansion kernel distances computed for
+        # the energy path are strictly MORE accurate than an explicit-
+        # difference norm taken at ht — reuse them (same 1e-10 floor)
+        x_dists_h = cast(x_dists)                                # (B, M)
+    else:
+        # a query exactly ON a training geometry has XJ = 0, and 0/0
+        # would poison the whole row — keep the 1e-10 floor
+        x_dists_h = jnp.maximum(jnp.linalg.norm(x_diffs_h, axis=-1),
+                                jnp.asarray(1e-10, dtype=ht))    # (B, M)
 
     XJ = jnp.einsum("bmd,bdx->bmx", x_diffs_h, jac)              # (B, M, 3N)
     AJ = jnp.einsum("md,bdx->bmx", A_h, jac)                     # (B, M, 3N)

@@ -28,6 +28,10 @@ class DiagHessian:
         h = self.diag.astype(M.dtype)
         return h * M if M.ndim == 2 else h[:, :, None] * M
 
+    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        """H @ v for a batch of vectors v of shape (n, d)."""
+        return self.diag.astype(v.dtype) * v
+
     def dense(self) -> jnp.ndarray:
         n, d = self.diag.shape
         return self.diag[:, :, None] * jnp.eye(d, dtype=self.diag.dtype)[None]
@@ -41,6 +45,9 @@ class DenseHessian:
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("nag,ngb->nab", self.mat.astype(M.dtype), M)
+
+    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("nag,ng->na", self.mat.astype(v.dtype), v)
 
     def dense(self) -> jnp.ndarray:
         return self.mat
@@ -59,6 +66,9 @@ class ConstHessian:
 
     def matmul(self, M: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("ag,ngb->nab", self.mat.astype(M.dtype), M)
+
+    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v @ self.mat.astype(v.dtype).T
 
     def dense(self) -> jnp.ndarray:
         return self.mat[None]

@@ -115,13 +115,16 @@ class MolecularGDMLPotential:
     action phase needs them) with an f32 Hessian for the monodromy blocks
     — ~137x faster than emulated-f64 Hessians on TPU (BASELINE.md).
 
-    `hessian_eval` selects how often the integrator samples the Hessian:
+    `hessian_eval` selects how often the integrator samples the PES:
     "stage" (default — every RK4 stage, trajectory-for-trajectory parity
-    with the reference) or "step" — once per step at the midpoint stage,
-    frozen across the monodromy update (the analytic sGDML Hessian costs
-    ~20x the gradient, so this trades an O(dt^3 ||dH/dt||) monodromy error
-    for most of the step cost; trajectories are unchanged bit for bit —
-    see eom.rk4_step).
+    with the reference), "step" — gradients at all 4 stages but the Hessian
+    once per step at the midpoint stage, frozen across the monodromy update
+    (the analytic sGDML Hessian costs ~20x the gradient; trajectories are
+    unchanged bit for bit), or "taylor" — ONE order-2 evaluation per step
+    at the free-flight midpoint with all stage forces from the local
+    quadratic expansion (1/4 of the expensive f64 energy/gradient
+    evaluations; trajectories acquire an O(dt^2) local-harmonic error,
+    gated in tests/test_hessian_eval.py — see eom.rk4_step).
     """
 
     gdml: GDMLParams
@@ -142,9 +145,9 @@ class MolecularGDMLPotential:
         )
         mass = nac_fchk.masses()
         logger.info(f"atomic masses (multiples of electron mass): {mass}")
-        if hessian_eval not in ("stage", "step"):
+        if hessian_eval not in ("stage", "step", "taylor"):
             raise ValueError(f"unknown hessian_eval {hessian_eval!r} "
-                             "(expected 'stage' or 'step')")
+                             "(expected 'stage', 'step' or 'taylor')")
         return MolecularGDMLPotential(
             gdml=gdml,
             nac0=jnp.asarray(nac0, dtype=dtype),

@@ -19,6 +19,15 @@ propagators.py:296-398 (EquationsOfMotion). Differences by design:
   monodromy propagator, with O(dt^3 ||dH/dt||) local error. Trajectories
   (q, p, S) are bit-identical to the 4-stage mode; only the monodromy
   blocks (and through them the prefactor) carry the approximation;
+* potentials whose every f64 evaluation is expensive (sGDML again: the
+  energy/gradient regression sums carry ~1e11 alphas and NEED the f64
+  path, BASELINE.md) may opt into `hessian_eval = "taylor"`: ONE order-2
+  evaluation per step at the free-flight midpoint; the four RK4 stage
+  forces come from the local quadratic expansion around it. This is RK4
+  on the locally-harmonic PES — trajectories acquire an O(dt^2) global
+  error (the stage-force error is O(|delta|^2 ||d3V||), |delta| = O(dt)),
+  gated by a convergence test; the monodromy freezes the same midpoint
+  Hessian as "step";
 * the step is integrated in THREE independent subsystems that share the
   stage Hessians: the trajectory block (q, p, S) first, then the two
   monodromy pairs (Mqq, Mpq) and (Mqp, Mpp).  The pairs are genuinely
@@ -126,17 +135,48 @@ def rk4_step(state: TrajState, potential, dt):
     # Hessian once at the midpoint stage, frozen across the monodromy
     # update (midpoint-Magnus; trajectories are unchanged bit for bit)
     hessian_eval = getattr(potential, "hessian_eval", "stage")
-    if hessian_eval not in ("stage", "step", ""):
+    if hessian_eval not in ("stage", "step", "taylor", ""):
         # trace-time guard: a typo'd value set by direct construction or
         # pytree replace() must not silently fall back to the 4-stage mode
         raise ValueError(f"unknown hessian_eval {hessian_eval!r} "
-                         "(expected 'stage' or 'step')")
-    frozen_hess = hessian_eval == "step"
+                         "(expected 'stage', 'step' or 'taylor')")
+    frozen_hess = hessian_eval in ("step", "taylor")
     value_grad = getattr(potential, "value_grad", None)
     if value_grad is None:
         def value_grad(qs):
             vpot, grad, _ = potential.local_expansion(qs)
             return vpot, grad
+
+    H_mid = None
+    if hessian_eval == "taylor":
+        # hessian_eval = "taylor": ONE order-2 PES evaluation per step, at
+        # the free-flight midpoint (the same point the "step" mode samples
+        # its Hessian — q + dt/2 k1_q, and k1_q = p/m is PES-independent);
+        # all four stage forces come from the local quadratic expansion
+        #     V(q_mid + delta) ~ V_mid + g_mid.delta + 1/2 delta.H delta.
+        # Unlike "step" this changes the trajectories: the stage-force
+        # error is O(|delta|^2 ||d3V||) with |delta| <= O(dt |qdot|), so
+        # the method is globally 2nd-order in dt (gated in
+        # tests/test_hessian_eval.py) — far below the ML-PES model error
+        # at production molecular steps, for 1/4 of the expensive f64
+        # energy/gradient evaluations (sGDML needs the f64 path end to
+        # end; the quadratic corrections below are small step-scale
+        # quantities and run at the Hessian's reduced precision).
+        q_mid = q + half * (p * inv_m_t)
+        v_mid, g_mid, H_mid = potential.local_expansion(q_mid)
+        cdt = (H_mid.diag.dtype if isinstance(H_mid, DiagHessian)
+               else H_mid.mat.dtype)
+        g_mid_c = g_mid.astype(cdt)
+
+        def value_grad(qs):
+            delta = (qs - q_mid).astype(cdt)
+            hd = H_mid.matvec(delta)
+            # correction terms scale the small displacement, not the f64
+            # anchors v_mid/g_mid — reduced precision costs ~eps*|delta|
+            v = v_mid + jnp.sum((g_mid_c + 0.5 * hd) * delta,
+                                axis=1).astype(v_mid.dtype)
+            grad = g_mid + hd.astype(g_mid.dtype)
+            return v, grad
 
     def pack_stage(qs, ps, vpot, grad):
         tkin = 0.5 * jnp.sum(ps**2 * inv_m_t[None, :], axis=1)
@@ -155,10 +195,16 @@ def rk4_step(state: TrajState, potential, dt):
         k, e = pack_stage(qs, ps, vpot, grad)
         return k, None, e
 
-    # --- trajectory block (q, p, S): 4 PES evaluations ---
+    # --- trajectory block (q, p, S): 4 PES evaluations (1 for "taylor") ---
     if frozen_hess:
         k1, _, e1 = traj_stage_nohess(q, p)
-        k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
+        if H_mid is not None:
+            # taylor: the order-2 expansion at q_mid already happened and
+            # the stage forces are local quadratics — no further PES calls
+            H2 = H_mid
+            k2, _, _ = traj_stage_nohess(q + half * k1[0], p + half * k1[1])
+        else:
+            k2, H2, _ = traj_stage(q + half * k1[0], p + half * k1[1])
         k3, _, _ = traj_stage_nohess(q + half * k2[0], p + half * k2[1])
         k4, _, _ = traj_stage_nohess(q + tdt * k3[0], p + tdt * k3[1])
         H1 = H3 = H4 = H2

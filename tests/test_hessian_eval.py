@@ -256,3 +256,138 @@ def test_config_accepts_hessian_eval():
         "results": {"correlations": "c.npz"},
     }
     validate_task(task)  # must not raise
+
+
+# --- hessian_eval = "taylor": one order-2 eval per step, local-quadratic
+# stage forces (changes trajectories at O(dt^2), unlike "step") ---
+
+
+def test_taylor_exact_for_quadratic_potential():
+    """With lam = 0 the PES is globally quadratic, so the local expansion
+    at the midpoint IS the exact PES: taylor-mode trajectories must match
+    the 4-stage mode to roundoff (they are computed through a different
+    arithmetic path, so not bit-identical)."""
+    from semiclassical_tpu.pytree import replace
+    pot_stage = _make_potential(lam=0.0)
+    pot_t = replace(pot_stage, hessian_eval="taylor")
+    s1, c1, k1 = _run(pot_stage, nt=10)
+    s2, c2, k2 = _run(pot_t, nt=10)
+    np.testing.assert_allclose(np.asarray(s2.q), np.asarray(s1.q),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s2.p), np.asarray(s1.p),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s2.Mqq), np.asarray(s1.Mqq),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(c2, c1, rtol=1e-11, atol=1e-13)
+
+
+def test_taylor_second_order_convergence():
+    """The local-harmonic stage forces make taylor a globally 2nd-order
+    method for the trajectories: halving dt must shrink the q/p gap to the
+    4-stage mode ~4x (allow 3x for pre-asymptotic slack)."""
+    from semiclassical_tpu.pytree import replace
+    pot = _make_potential(lam=2.0e-2)
+    pot_t = replace(pot, hessian_eval="taylor")
+
+    def gap(dt, nt):
+        s1, _, _ = _run(pot, nt=nt, dt=dt)
+        s2, _, _ = _run(pot_t, nt=nt, dt=dt)
+        return max(np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max(),
+                   np.abs(np.asarray(s1.p) - np.asarray(s2.p)).max())
+
+    g_coarse = gap(1.0, 16)   # same physical horizon
+    g_fine = gap(0.5, 32)
+    assert g_coarse > 0.0     # the approximation is real
+    assert g_coarse / g_fine > 3.0
+
+
+def test_taylor_single_step_matches_manual_quadratic():
+    """One taylor rk4_step must equal an rk4_step on the hand-built
+    quadratic expansion of the PES around the free-flight midpoint (the
+    defining equation of the mode), not merely be 'close'."""
+    from semiclassical_tpu.pytree import replace
+    from semiclassical_tpu.propagation.state import TrajState
+
+    pot = _make_potential(lam=2.0e-2)
+    pot_t = replace(pot, hessian_eval="taylor")
+    d = pot.dimensions()
+    rng = np.random.default_rng(5)
+    n = 8
+    eye = jnp.broadcast_to(jnp.eye(d), (n, d, d))
+    state = TrajState(
+        q=jnp.asarray(rng.normal(0.3, 0.1, size=(n, d))),
+        p=jnp.asarray(rng.normal(0.0, 0.1, size=(n, d))),
+        Mqq=eye, Mqp=jnp.zeros((n, d, d)), Mpq=jnp.zeros((n, d, d)),
+        Mpp=eye, S=jnp.zeros(n))
+    dt = 0.5
+
+    new_t, _ = rk4_step(state, pot_t, dt)
+
+    # manual composition: expand the PES at q_mid = q + dt/2 p/m and run
+    # the plain 4-stage step on that quadratic surrogate
+    q_mid = state.q + 0.5 * dt * state.p  # masses are 1
+    v0, g0, H0 = pot.local_expansion(q_mid)
+    Hm = H0.mat
+
+    @pytree_dataclass
+    class _Quadratic:
+        q_mid: jnp.ndarray
+        v0: jnp.ndarray
+        g0: jnp.ndarray
+        Hm: jnp.ndarray
+
+        def masses(self):
+            return jnp.ones(self.q_mid.shape[1], dtype=self.q_mid.dtype)
+
+        def local_expansion(self, q):
+            delta = q - self.q_mid
+            hd = jnp.einsum("nxy,ny->nx", self.Hm, delta)
+            v = self.v0 + jnp.sum((self.g0 + 0.5 * hd) * delta, axis=1)
+            return v, self.g0 + hd, DenseHessian(mat=self.Hm)
+
+    new_m, _ = rk4_step(
+        state, _Quadratic(q_mid=q_mid, v0=v0, g0=g0, Hm=Hm), dt)
+    for leaf in ("q", "p", "S", "Mqq", "Mqp", "Mpq", "Mpp"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_t, leaf)), np.asarray(getattr(new_m, leaf)),
+            rtol=1e-13, atol=1e-15, err_msg=leaf)
+
+
+@pytest.mark.slow
+def test_gdml_taylor_close(ref_data):
+    """Coumarin sGDML: hessian_eval='taylor' must track the 4-stage mode on
+    identical ensembles. Unlike 'step' the trajectories themselves carry
+    the O(dt^2) local-harmonic error, so the gate is looser — but still
+    far below the MC noise scale of production runs."""
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    def run(hessian_eval):
+        pot = MolecularGDMLPotential.create(model, exc,
+                                            hessian_eval=hessian_eval)
+        prop = HermanKlukPropagator(Gamma0, Gamma0)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=16,
+                                key=7, potential=pot)
+        c, k = prop.propagate(pot, 0.25, 12, energy0_es=zpe)
+        return prop.state, c, k
+
+    s_stage, c_stage, k_stage = run("stage")
+    s_t, c_t, k_t = run("taylor")
+    # trajectories differ (the approximation is real) but stay close at
+    # these production-scale steps
+    dq = np.abs(np.asarray(s_stage.q) - np.asarray(s_t.q)).max()
+    assert dq > 0.0
+    np.testing.assert_allclose(c_t, c_stage, rtol=0, atol=5e-6)
+    np.testing.assert_allclose(k_t, k_stage, rtol=0, atol=5e-6)
+    assert np.abs(c_stage[-1] - c_stage[0]) > 1e-4
