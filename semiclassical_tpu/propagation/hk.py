@@ -43,6 +43,8 @@ from semiclassical_tpu.coherent import (
     wavefunction,
 )
 from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.exact_harmonic import (
+    HarmonicMap, build_harmonic_map, harmonic_step, supports_exact_harmonic)
 from semiclassical_tpu.propagation.exact_morse import (
     build_morse_map, gather_tracker, merge_tracker, morse_map_advance,
     morse_map_merge, morse_map_state, supports_exact_morse)
@@ -572,32 +574,171 @@ def hk_coefficients(params: HKParams, bc: BatchConstants, state: TrajState,
     return c_signed * phase * bc.vi * bc.weight
 
 
-def pairwise_norm(overlap_params, q, p, v, block=4096):
+def _pair_sum_device(block_term, params, blocks, pairs,
+                     double_offdiag=True):
+    """sum_ij Re term(i, j) over the block-pair grid, one program.
+
+    `block_term(params, *blk_i, *blk_j) -> complex scalar` must be a
+    module-level function (it is a STATIC jit argument — a fresh closure
+    would re-trace on every call, and remote compiles cost 30-300 s).
+    The loop over the upper-triangular pair list runs DEVICE-side via
+    lax.map (serialised — only one (block, block) intermediate is ever
+    live), so the whole O(n^2) reduction is a single dispatch instead of
+    O((n/block)^2) host round-trips (~45 ms each on the axon tunnel —
+    VERDICT r3: the host loop spent ~6 min at 524k trajectories on
+    dispatch alone). Off-diagonal blocks are counted once and doubled
+    (the pair matrix is Hermitian — identical bra/ket width matrices).
+    """
+    def one(pr):
+        bi = tuple(b[pr[0]] for b in blocks)
+        bj = tuple(b[pr[1]] for b in blocks)
+        t = block_term(params, *(bi + bj))
+        if not double_offdiag:
+            return t.real      # full ordered grid: Re is linear, so
+                               # summing Re(t) equals Re(sum t)
+        return jnp.where(pr[0] == pr[1], t.real, 2.0 * t.real)
+
+    return jnp.sum(lax.map(one, pairs))
+
+
+_pair_sum_device_jit = jax.jit(_pair_sum_device,
+                               static_argnums=(0, 4))
+
+
+def blocked_pair_sum(block_term, params, arrays, block=4096,
+                     hermitian=True):
+    """Host wrapper for _pair_sum_device: reshape to blocks, build the
+    pair list (upper triangle when the pair matrix is Hermitian, the full
+    ordered grid otherwise), run one jitted program. Requires block | n
+    (callers fall back to a host loop otherwise)."""
+    n = arrays[0].shape[0]
+    assert n % block == 0
+    nb = n // block
+    blocks = tuple(a.reshape((nb, block) + a.shape[1:]) for a in arrays)
+    if hermitian:
+        iu, ju = np.triu_indices(nb)
+    else:
+        iu, ju = (g.ravel() for g in np.mgrid[0:nb, 0:nb])
+    pairs = jnp.asarray(np.stack([iu, ju], axis=1), dtype=jnp.int32)
+    return float(from_device(
+        _pair_sum_device_jit(block_term, params, blocks, pairs, hermitian)))
+
+
+def _pair_sum_ring_run(block_term, mesh, nb, params, *arrays):
+    """Distributed O(n^2) pair reduction: a shard_map systolic ring.
+
+    Each chip keeps its ensemble shard and a rotating copy; at rotation r
+    it reduces (local x visiting) over ALL ordered pairs, then ppermutes
+    the visiting copy one step around the `traj` ring (ICI traffic only —
+    SURVEY P4's all-gather-style exchange). After ndev rotations every
+    global ordered pair was visited exactly once; a final psum yields
+    norm^2. Within one rotation the local x visiting product is blocked
+    nb-ways with a device-side lax.map. Jitted once per (block_term, mesh,
+    nb, shapes) — all static args are hashable, params flow as arguments.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 fallback
+        from jax.experimental.shard_map import shard_map
+
+    ndev = int(mesh.devices.size)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    n_loc = arrays[0].shape[0] // ndev
+    blk = n_loc // nb
+
+    def local_sum(params, loc, vis):
+        """sum over all ordered (local i, visiting j) pairs, complex."""
+        if nb == 1:
+            return block_term(params, *(loc + vis))
+        lb = tuple(a.reshape((nb, blk) + a.shape[1:]) for a in loc)
+        vb = tuple(a.reshape((nb, blk) + a.shape[1:]) for a in vis)
+        ii, jj = np.mgrid[0:nb, 0:nb]
+        pairs = jnp.asarray(
+            np.stack([ii.ravel(), jj.ravel()], axis=1), dtype=jnp.int32)
+
+        def one(pr):
+            return block_term(params, *(tuple(b[pr[0]] for b in lb)
+                                        + tuple(b[pr[1]] for b in vb)))
+
+        return jnp.sum(lax.map(one, pairs))
+
+    def body(params, *shards):
+        shards = tuple(shards)
+
+        def step(r, carry):
+            vis, acc = carry
+            acc = acc + local_sum(params, shards, vis)
+            vis = jax.tree.map(
+                lambda a: lax.ppermute(a, "traj", perm), vis)
+            return (vis, acc)
+
+        cdt = jnp.result_type(shards[-1].dtype, jnp.complex64)
+        # the accumulator must carry the `traj` varying axis from the
+        # start (the loop output does, and scan/fori carries must match)
+        zero = jnp.zeros((), dtype=cdt)
+        try:
+            zero = lax.pvary(zero, ("traj",))
+        except AttributeError:
+            zero = zero + 0.0 * shards[-1].ravel()[0].astype(cdt)
+        _, acc = lax.fori_loop(0, ndev, step, (shards, zero))
+        return lax.psum(acc, "traj")
+
+    spec_in = ((P(),)
+               + tuple(P("traj", *([None] * (a.ndim - 1))) for a in arrays))
+    f = shard_map(body, mesh=mesh, in_specs=spec_in, out_specs=P())
+    return f(params, *arrays)
+
+
+_pair_sum_ring_jit = jax.jit(_pair_sum_ring_run, static_argnums=(0, 1, 2))
+
+
+def _pair_sum_ring(block_term, params, arrays, mesh, block):
+    ndev = int(mesh.devices.size)
+    n_loc = arrays[0].shape[0] // ndev
+    nb = n_loc // block if (n_loc % block == 0 and n_loc > block) else 1
+    norm2 = _pair_sum_ring_jit(block_term, mesh, nb, params, *arrays)
+    return complex(from_device(norm2)).real
+
+
+def _hk_norm_block_term(overlap_params, qi, pi, vi, qj, pj, vj):
+    olap = overlap_matrix(overlap_params, qi, pi, qj, pj)
+    return jnp.einsum("i,ij,j", jnp.conj(vi), olap, vj)
+
+
+def pairwise_norm(overlap_params, q, p, v, block=4096, mesh=None):
     """|psi| = sqrt( sum_ij v_i^* <g_i|g_j> v_j ) by blocked accumulation.
 
     O(n^2) — opt-in convergence diagnostic (reference propagators.py:734-782).
-    Blocks are computed under jit; the block loop is a static host loop.
+    The block-pair loop runs device-side in one jit (blocked_pair_sum);
+    under a mesh the reduction runs as a shard_map systolic ring over ICI
+    (_pair_sum_ring).
     """
+    if mesh is not None:
+        norm2 = _pair_sum_ring(_hk_norm_block_term, overlap_params,
+                               (q, p, v), mesh, block)
+        return float(np.sqrt(norm2))
+
     n = q.shape[0]
+    if n % block == 0:
+        return float(np.sqrt(blocked_pair_sum(
+            _hk_norm_block_term, overlap_params, (q, p, v), block=block)))
+
+    # fallback: host loop over the Hermitian upper triangle (uneven blocks)
     nblocks = -(-n // block)
-
-    @jax.jit
-    def block_term(qi, pi, vi, qj, pj, vj):
-        olap = overlap_matrix(overlap_params, qi, pi, qj, pj)
-        return jnp.einsum("i,ij,j", jnp.conj(vi), olap, vj)
-
-    # O_ij is Hermitian (identical bra/ket width matrices), so the (j, i)
-    # block contributes the conjugate of the (i, j) block: compute the
-    # diagonal plus the upper triangle and double the real part.
     norm2 = 0.0
     for ib in range(nblocks):
         sl_i = slice(ib * block, min((ib + 1) * block, n))
         for jb in range(ib, nblocks):
             sl_j = slice(jb * block, min((jb + 1) * block, n))
-            term = complex(block_term(q[sl_i], p[sl_i], v[sl_i],
-                                      q[sl_j], p[sl_j], v[sl_j]))
+            term = complex(_hk_norm_block_jit(
+                overlap_params, q[sl_i], p[sl_i], v[sl_i],
+                q[sl_j], p[sl_j], v[sl_j]))
             norm2 += term.real if jb == ib else 2.0 * term.real
     return float(np.sqrt(norm2))
+
+
+_hk_norm_block_jit = jax.jit(_hk_norm_block_term)
 
 
 def check_energy_conservation(energies, change_tol=1.0e-2):
@@ -625,6 +766,15 @@ def check_energy_conservation(energies, change_tol=1.0e-2):
 
 def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
              integ=None, with_m2=False):
+    step_fn = rk4_step
+    if integ is not None and isinstance(integ[0], HarmonicMap):
+        # exact harmonic map: a drop-in per-step replacement for rk4_step
+        # (constant affine map + Van Loan action form, see
+        # propagation/exact_harmonic.py) — the plain scan body applies,
+        # no side-channel or extra carry needed
+        hmap = integ[0]
+        step_fn = lambda st, pot, _dt: harmonic_step(hmap, st, pot)
+        integ = None
     if integ is not None:
         # exact-Morse integrator: the scan carries only the phase pack
         # (th + residual + t_rel); the full TrajState is materialised
@@ -677,7 +827,7 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
         c = jnp.sqrt(c2) * tracker.signs
         obs = hk_observables(params, bc, state, c, potential,
                              with_m2=with_m2)
-        new_state, en = rk4_step(state, potential, dt)
+        new_state, en = step_fn(state, potential, dt)
         return (new_state, tracker, t + dt), obs + (en,)
 
     (state, tracker, t), outs = lax.scan(body, (state0, tracker0, t0), None,
@@ -686,6 +836,98 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
 
 
 _hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt", "with_m2"))
+
+
+# ---------------------------------------------------------------------------
+# device-side micro-batching
+# ---------------------------------------------------------------------------
+
+def _split_traj_tree(tree, n, k):
+    """Reshape every per-trajectory leaf (leading axis n) into (k, n//k, ...)
+    for lax.map; batch-wide leaves (scalars, parameter matrices) are tiled
+    to k copies so every mapped leaf carries the map axis."""
+    m = n // k
+
+    def f(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == n:
+            return leaf.reshape((k, m) + leaf.shape[1:])
+        return jnp.broadcast_to(leaf[None], (k,) + leaf.shape)
+
+    return jax.tree.map(f, tree)
+
+
+def _merge_traj_tree(tree, n):
+    """Inverse of _split_traj_tree for per-trajectory leaves: (k, m, ...) ->
+    (n, ...); tiled batch-wide leaves collapse to their first copy."""
+    def f(leaf):
+        if leaf.ndim >= 2 and leaf.shape[0] * leaf.shape[1] == n:
+            return leaf.reshape((n,) + leaf.shape[2:])
+        return leaf[0]
+
+    return jax.tree.map(f, tree)
+
+
+def _m2_combine_axis(m2):
+    """Vectorised _m2_combine across the micro-batch axis: (k, nt) factored
+    moments -> (nt,)."""
+    mxs, ssqs = m2
+    mx = jnp.max(mxs, axis=0)
+    den = jnp.where(mx > 0, mx, 1).astype(ssqs.dtype)
+    return mx, jnp.sum(ssqs * (mxs / den[None]) ** 2, axis=0)
+
+
+def _micro_scan(scan_fn, params, bc, potential, state0, trackers0, t0, dt,
+                nt, k, with_m2):
+    """Run the time scan as `lax.map` over k device-side sub-batches.
+
+    Large batches of the WM derived chain are HBM-roundtrip-bound: the
+    per-step intermediates scale with the batch, and throughput peaks at a
+    much smaller batch than the memory ceiling (ntraj ~ 8192 vs 524288 —
+    BASELINE.md WM table). lax.map serialises the sub-batches (unlike
+    vmap, which would re-vectorise them back into full-width
+    intermediates), so each sub-batch's step intermediates stay at the
+    throughput-optimal size while the whole run remains ONE dispatch.
+
+    The trajectory state is embarrassingly parallel, so per-trajectory
+    results are exactly the monolithic ones; only the observable
+    REDUCTIONS change association order (sub-batch partials then sum) —
+    gated against the monolithic scan in tests/test_micro_batch.py.
+    """
+    n = state0.q.shape[0]
+    sub = _split_traj_tree((state0, bc, trackers0), n, k)
+
+    def one(args):
+        st, b, tr = args
+        return scan_fn(params, b, potential, st, tr, t0, dt, nt,
+                       None, with_m2)
+
+    carries, outs = lax.map(one, sub)
+    state_k, trackers_k, t_k = carries[0], carries[1], carries[2]
+    state = _merge_traj_tree(state_k, n)
+    trackers = _merge_traj_tree(trackers_k, n)
+    carry = (state, trackers, t_k[0], None)
+
+    if with_m2:
+        cauto, kic, m2c, m2k, en = outs
+        outs = (jnp.sum(cauto, axis=0), jnp.sum(kic, axis=0),
+                _m2_combine_axis(m2c), _m2_combine_axis(m2k),
+                jnp.mean(en, axis=0))
+    else:
+        cauto, kic, en = outs
+        outs = (jnp.sum(cauto, axis=0), jnp.sum(kic, axis=0),
+                jnp.mean(en, axis=0))
+    return carry, outs
+
+
+def _hk_scan_micro(params, bc, potential, state0, tracker0, t0, dt, nt,
+                   k, with_m2=False):
+    return _micro_scan(_hk_scan, params, bc, potential, state0, tracker0,
+                       t0, dt, nt, k, with_m2)
+
+
+_hk_scan_micro_jit = jax.jit(_hk_scan_micro,
+                             static_argnames=("nt", "k", "with_m2"))
 
 
 # ---------------------------------------------------------------------------
@@ -715,10 +957,12 @@ class HermanKlukPropagator:
             dynamics with the monodromy matmuls and complex determinant in
             f32/c64 (complex128 is unsupported on TPU backends).
         integrator : "rk4" (fixed-step Runge-Kutta, matches the reference
-            trajectory-for-trajectory) or "exact" (the closed-form Morse
-            propagation map — zero time-discretization error; requires a
-            non-harmonic separable MorsePotential with bound orbits, see
-            propagation/exact_morse.py).
+            trajectory-for-trajectory) or "exact" (zero time-
+            discretization error at any dt; requires either a non-harmonic
+            separable MorsePotential with bound orbits — the closed-form
+            Morse action-angle map, propagation/exact_morse.py — or a
+            constant-Hessian molecular harmonic potential — the exact
+            affine normal-mode map, propagation/exact_harmonic.py).
         """
         if integrator not in ("rk4", "exact"):
             raise ValueError(f"unknown integrator {integrator!r} "
@@ -735,6 +979,11 @@ class HermanKlukPropagator:
         )
         self.Gamma_i = Gamma_i
         self.Gamma_t = Gamma_t
+        # device-side micro-batching: when > 0 and it divides the batch,
+        # scans run as lax.map over sub-batches of this size (one dispatch;
+        # keeps HBM-bound step intermediates at the throughput-optimal
+        # batch — the WM production lever, see _micro_scan)
+        self.micro_batch = 0
         self.dtype = dtype
         self.traj_dtype = dtype if traj_dtype is None else traj_dtype
         # comp32: compensated-f32 trajectories (see TrajState) — sampling
@@ -776,6 +1025,15 @@ class HermanKlukPropagator:
         introduces no stepping error)."""
         if self.integrator != "exact":
             return None
+        if supports_exact_harmonic(potential):
+            # constant-Hessian molecular PES: the exact affine map — no
+            # carried state, only (potential, dt, device dtypes) matter
+            key = (id(potential), float(dt), self.state.q.dtype,
+                   self.state.Mqq.dtype)
+            if self._hmap_key != key:
+                self._hmap = build_harmonic_map(potential, dt, self.state)
+                self._hmap_key = key
+            return (self._hmap, None, None)
         if (self._integ_pack is None or self._integ_carry is None
                 or self._integ_dt != float(dt)
                 or self._integ_state_ref is not self.state
@@ -783,7 +1041,8 @@ class HermanKlukPropagator:
             if not supports_exact_morse(potential, self.state):
                 raise ValueError(
                     "integrator='exact' requires a non-harmonic separable "
-                    "MorsePotential (diagonal-monodromy state); use "
+                    "MorsePotential (diagonal-monodromy state) or a "
+                    "constant-Hessian molecular harmonic potential; use "
                     "integrator='rk4' for this potential")
             pack, carry = build_morse_map(self.state, potential, dt)
             if pack.has_sub:
@@ -835,6 +1094,9 @@ class HermanKlukPropagator:
         self._integ_bc_sub = None
         self._integ_state_ref = None
         self._integ_pot_ref = None
+        # exact harmonic map cache (dtype/dt-keyed; state-independent)
+        self._hmap = None
+        self._hmap_key = None
 
     # -- exact-integrator side-channel helpers --------------------------------
 
@@ -871,9 +1133,32 @@ class HermanKlukPropagator:
         routed rows (the authoritative, checkpointed branch-cut state)."""
         return (gather_tracker(self.trackers["prefactorC"], sub_idx),)
 
+    def _micro_k(self):
+        """Number of device-side sub-batches for the micro-batched scan
+        (1 = monolithic). Active when `micro_batch` is set, divides the
+        batch, and no exact-integrator pack is in play."""
+        m = int(getattr(self, "micro_batch", 0) or 0)
+        n = 0 if self.state is None else int(self.state.q.shape[0])
+        if m <= 0 or n <= m:
+            return 1
+        if n % m:
+            logger.warning(
+                f"micro_batch={m} does not divide the batch ({n}); "
+                "running monolithic")
+            return 1
+        return n // m
+
     def _scan(self, potential, dt, nt, with_m2=False):
         integ = self._integ(potential, dt)
-        bc = self._bc if integ is None else self._integ_bc_scan
+        harmonic = integ is not None and isinstance(integ[0], HarmonicMap)
+        bc = self._bc if (integ is None or harmonic) else self._integ_bc_scan
+        k = self._micro_k()
+        if k > 1 and integ is None:
+            return _hk_scan_micro_jit(
+                self.params, bc, potential, self.state,
+                self.trackers["prefactorC"],
+                jnp.asarray(self.t, dtype=self._scalar_dtype),
+                jnp.asarray(dt, dtype=self._scalar_dtype), nt, k, with_m2)
         return _hk_scan_jit(
             self.params, bc, potential, self.state,
             self.trackers["prefactorC"],
@@ -982,7 +1267,8 @@ class HermanKlukPropagator:
     # -- fast path ------------------------------------------------------------
 
     def propagate(self, potential, dt, nt, energy0_es=0.0, check_energy=True,
-                  chunk=None, progress=None, error_bars=False):
+                  chunk=None, progress=None, error_bars=False,
+                  micro_batch=None):
         """Run `nt` steps as jitted scans.
 
         Returns (autocorrelation (nt,), ic_correlation (nt,)) as numpy
@@ -1009,7 +1295,15 @@ class HermanKlukPropagator:
         sigma = sqrt(sum_i |x_i|^2 - |sum_i x_i|^2 / n). They are invariant
         under the separable host phase. BEYOND-reference: the reference's
         only convergence diagnostic is the opt-in O(n^2) norm.
+
+        `micro_batch`, if given, sets `self.micro_batch`: scans run as a
+        device-side lax.map over sub-batches of that size (per-trajectory
+        results identical; observable reductions re-associate — see
+        _micro_scan). Ignored when an exact-integrator pack is active or
+        the size does not divide the batch.
         """
+        if micro_batch is not None:
+            self.micro_batch = int(micro_batch)
         self._require_nacq(potential)
         t_start = self.t
         if chunk is None or chunk >= nt:
@@ -1110,9 +1404,12 @@ class HermanKlukPropagator:
         return v * jnp.asarray(self._bc.weight_scale, dtype=real_dtype(v.dtype))
 
     def norm(self):
-        """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic)."""
+        """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic).
+        Single device: one jitted block-pair program; under a mesh: a
+        shard_map systolic ring over ICI (SURVEY P4)."""
         v = self.coefficients()
-        return pairwise_norm(self.params.csott, self.state.q, self.state.p, v)
+        return pairwise_norm(self.params.csott, self.state.q, self.state.p,
+                             v, mesh=self.mesh)
 
     def wavefunction(self, x):
         """psi(x, t) on a spatial grid x of shape (nx, d)."""

@@ -39,6 +39,8 @@ from semiclassical_tpu.coherent import complex_exp
 from semiclassical_tpu.linalg import (from_device, phase_exp, real_dtype,
                                       times_i, to_device)
 from semiclassical_tpu.propagation.eom import rk4_step
+from semiclassical_tpu.propagation.exact_harmonic import (HarmonicMap,
+                                                          harmonic_step)
 from semiclassical_tpu.propagation.exact_morse import (morse_map_advance,
                                                        morse_map_merge,
                                                        morse_map_state)
@@ -1044,8 +1046,47 @@ def wm_wavefunction(params: WMParams, bc: WMBatchConstants, state: TrajState,
     return psi, zmax
 
 
+def _wm_norm_block_term(pack, Qi, di, CQQi, lri, lii, Qj, dj, CQQj, lrj,
+                        lij):
+    """One (bi, bj) block of the WM pair sum (module-level: it is a static
+    jit argument of the shared pair-sum runners, hk._pair_sum_device)."""
+    U, m_scale, m_log_det = pack
+    cdtype = Qi.dtype
+    dQij = Qj[None, :, :] - Qi[:, None, :]               # (bi, bj, d)
+    di_ = jnp.conj(di)[:, None, :]
+    dj_ = dj[None, :, :]
+    CQQj_ = CQQj[None, :, :, :]
+    Dij = jnp.conj(CQQi)[:, None] + CQQj_                # (bi, bj, d, d)
+    # project to the non-zero subspace before inverting; route through
+    # linalg.batched_det_inv — XLA's complex LU is numerically broken on
+    # the TPU backend (see linalg.py)
+    DijU = jnp.einsum("ia,mnij,jb->mnab", U, Dij, U)
+    # det(DijU / 2 pi) itself underflows complex64 at many modes (it is
+    # ~ det(2 U^T G0 U / 2 pi) at t = 0) — factorise at the O(1) scale
+    # m_scale and carry the exact compensator m_log_det in the log
+    # (same pattern as the M matrix, see WMParams)
+    detDij, iDij_s = linalg.batched_det_inv(DijU / m_scale)
+    iDij = iDij_s / m_scale
+    bij = (jnp.einsum("nab,mnb->mna", CQQj, dQij) + di_ + dj_)  # (bi,bj,d)
+    bijU = jnp.einsum("mna,ab->mnb", bij, U)
+    pair_expo = (
+        -0.5 * jnp.einsum("mna,nab,mnb->mn", dQij, CQQj, dQij)
+        - jnp.einsum("na,mna->mn", dj, dQij)
+        + 0.5 * jnp.einsum("mna,mnab,mnb->mn", bijU, iDij, bijU))
+    # exp(-1/2 Log det) with the principal log = 1/sqrt(det) principal;
+    # log det(DijU / 2 pi) = log det(DijU / m_scale) + m_log_det
+    total_re = (lri[:, None] + lrj[None, :] + pair_expo.real
+                - 0.5 * (jnp.log(jnp.abs(detDij)) + m_log_det))
+    total_im = (-lii[:, None] + lij[None, :] + pair_expo.imag
+                - 0.5 * jnp.angle(detDij))
+    return jnp.sum(complex_exp(total_re, total_im, cdtype))
+
+
+_wm_norm_block_jit = jax.jit(_wm_norm_block_term)
+
+
 def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
-            derived: WMDerived, log_v, block=4096):
+            derived: WMDerived, log_v, block=4096, mesh=None):
     """|psi| of the WM wavefunction — O(n^2) with per-pair r x r inverses
     (reference propagators.py:1484-1575). Opt-in diagnostic.
 
@@ -1053,7 +1094,16 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
     assembled as ONE exponent (log v_m^* + log v_n + the pair-overlap
     exponent - 1/2 Log det), which is O(1) per entry even when both factors
     over/underflow the complex dtype individually — this is what lifts the
-    c64 diagnostic ceiling at high mode counts."""
+    c64 diagnostic ceiling at high mode counts.
+
+    The full ordered block-pair grid runs device-side in one jitted
+    program (hk._pair_sum_device; the WM pair exponent is not assembled
+    symmetrically, so the Hermitian-triangle shortcut is not taken);
+    under a mesh the reduction runs as the shard_map systolic ring
+    (hk._pair_sum_ring)."""
+    from semiclassical_tpu.propagation.hk import (_pair_sum_ring,
+                                                  blocked_pair_sum)
+
     hk = params.hk
     log_re, log_im = log_v
     cdtype = complex_dtype(params.Gt.dtype)
@@ -1069,49 +1119,31 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
     lr = log_re.astype(rd)
     li = log_im.astype(rd)
 
+    pack = (U, params.m_scale.astype(rd), params.m_log_det)
+    arrays = (Q, dvec, CQQ, lr, li)
     n = Q.shape[0]
+
+    if mesh is not None:
+        norm2 = _pair_sum_ring(_wm_norm_block_term, pack, arrays, mesh,
+                               block)
+        return float(np.sqrt(norm2))
+
+    if n % block == 0:
+        return float(np.sqrt(blocked_pair_sum(
+            _wm_norm_block_term, pack, arrays, block=block,
+            hermitian=False)))
+
+    # fallback: host loop over uneven blocks
     nblocks = -(-n // block)
-
-    @jax.jit
-    def block_term(Qi, di, CQQi, lri, lii, Qj, dj, CQQj, lrj, lij):
-        dQij = Qj[None, :, :] - Qi[:, None, :]               # (bi, bj, d)
-        di_ = jnp.conj(di)[:, None, :]
-        dj_ = dj[None, :, :]
-        CQQj_ = CQQj[None, :, :, :]
-        Dij = jnp.conj(CQQi)[:, None] + CQQj_                # (bi, bj, d, d)
-        # project to the non-zero subspace before inverting; route through
-        # linalg.batched_det_inv — XLA's complex LU is numerically broken on
-        # the TPU backend (see linalg.py)
-        DijU = jnp.einsum("ia,mnij,jb->mnab", U, Dij, U)
-        # det(DijU / 2 pi) itself underflows complex64 at many modes (it is
-        # ~ det(2 U^T G0 U / 2 pi) at t = 0) — factorise at the O(1) scale
-        # m_scale and carry the exact compensator m_log_det in the log
-        # (same pattern as the M matrix, see WMParams)
-        m_scale = params.m_scale.astype(rd)
-        detDij, iDij_s = linalg.batched_det_inv(DijU / m_scale)
-        iDij = iDij_s / m_scale
-        bij = (jnp.einsum("nab,mnb->mna", CQQj, dQij) + di_ + dj_)  # (bi,bj,d)
-        bijU = jnp.einsum("mna,ab->mnb", bij, U)
-        pair_expo = (
-            -0.5 * jnp.einsum("mna,nab,mnb->mn", dQij, CQQj, dQij)
-            - jnp.einsum("na,mna->mn", dj, dQij)
-            + 0.5 * jnp.einsum("mna,mnab,mnb->mn", bijU, iDij, bijU))
-        # exp(-1/2 Log det) with the principal log = 1/sqrt(det) principal;
-        # log det(DijU / 2 pi) = log det(DijU / m_scale) + m_log_det
-        total_re = (lri[:, None] + lrj[None, :] + pair_expo.real
-                    - 0.5 * (jnp.log(jnp.abs(detDij)) + params.m_log_det))
-        total_im = (-lii[:, None] + lij[None, :] + pair_expo.imag
-                    - 0.5 * jnp.angle(detDij))
-        return jnp.sum(complex_exp(total_re, total_im, cdtype))
-
     norm2 = 0.0 + 0.0j
     for ib in range(nblocks):
         si = slice(ib * block, min((ib + 1) * block, n))
         for jb in range(nblocks):
             sj = slice(jb * block, min((jb + 1) * block, n))
             norm2 += complex(from_device(
-                block_term(Q[si], dvec[si], CQQ[si], lr[si], li[si],
-                           Q[sj], dvec[sj], CQQ[sj], lr[sj], li[sj])))
+                _wm_norm_block_jit(
+                    pack, Q[si], dvec[si], CQQ[si], lr[si], li[si],
+                    Q[sj], dvec[sj], CQQ[sj], lr[sj], li[sj])))
     return float(np.sqrt(norm2.real))
 
 
@@ -1121,6 +1153,12 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
 
 def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
              integ=None, with_m2=False):
+    step_fn = rk4_step
+    if integ is not None and isinstance(integ[0], HarmonicMap):
+        # exact harmonic map — see _hk_scan / propagation/exact_harmonic
+        hmap = integ[0]
+        step_fn = lambda st, pot, _dt: harmonic_step(hmap, st, pot)
+        integ = None
     if integ is not None:
         # exact-Morse integrator — see _hk_scan and propagation/exact_morse
         pack, mcarry0, bc_sub = integ
@@ -1179,7 +1217,7 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
         tr_M = tr_M.update(sd.detM)
         obs = wm_scan_observables(params, bc, state, sd, c,
                                   tr_A.signs, tr_M.signs, with_m2=with_m2)
-        new_state, en = rk4_step(state, potential, dt)
+        new_state, en = step_fn(state, potential, dt)
         return (new_state, (tr_c, tr_A, tr_M), t + dt), obs + (en,)
 
     (state, trackers, t), outs = lax.scan(body, (state0, trackers0, t0),
@@ -1188,6 +1226,20 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
 
 
 _wm_scan_jit = jax.jit(_wm_scan, static_argnames=("nt", "with_m2"))
+
+
+def _wm_scan_micro(params, bc, potential, state0, trackers0, t0, dt, nt,
+                   k, with_m2=False):
+    """Micro-batched WM scan: lax.map over k device-side sub-batches —
+    the WM derived chain is HBM-roundtrip-bound and peaks at ntraj ~ 8192,
+    far below production batch sizes (see hk._micro_scan)."""
+    from semiclassical_tpu.propagation.hk import _micro_scan
+    return _micro_scan(_wm_scan, params, bc, potential, state0, trackers0,
+                       t0, dt, nt, k, with_m2)
+
+
+_wm_scan_micro_jit = jax.jit(_wm_scan_micro,
+                             static_argnames=("nt", "k", "with_m2"))
 
 
 # ---------------------------------------------------------------------------
@@ -1270,9 +1322,16 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
 
     def _scan(self, potential, dt, nt, with_m2=False):
         integ = self._integ(potential, dt)
-        bc = self._bc if integ is None else self._integ_bc_scan
+        harmonic = integ is not None and isinstance(integ[0], HarmonicMap)
+        bc = self._bc if (integ is None or harmonic) else self._integ_bc_scan
         trackers0 = (self.trackers["prefactorC"], self.trackers["detA"],
                      self.trackers["detM"])
+        k = self._micro_k()
+        if k > 1 and integ is None:
+            return _wm_scan_micro_jit(
+                self.params, bc, potential, self.state, trackers0,
+                jnp.asarray(self.t, dtype=self._scalar_dtype),
+                jnp.asarray(dt, dtype=self._scalar_dtype), nt, k, with_m2)
         return _wm_scan_jit(
             self.params, bc, potential, self.state, trackers0,
             jnp.asarray(self.t, dtype=self._scalar_dtype),
@@ -1359,4 +1418,5 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
 
     def norm(self):
         log_v, derived = self._log_coefficients_and_derived()
-        return wm_norm(self.params, self._bc, self.state, derived, log_v)
+        return wm_norm(self.params, self._bc, self.state, derived, log_v,
+                       mesh=self.mesh)
