@@ -445,6 +445,12 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                      else 100)
     scan_chunk = task.get("scan_chunk", default_chunk)
 
+    # per-phase wall-clock accounting (SURVEY §5: sample/scan/reduce wall +
+    # traj-steps/s/chip, machine-produced instead of hand-assembled; the
+    # scan phase of the first repetition includes the XLA compile)
+    from semiclassical_tpu.profiling import PhaseTimer
+    ptimer = PhaseTimer()
+
     for repetition in range(num_repetitions):
         if resume_rep is not None and repetition < resume_rep:
             continue
@@ -459,9 +465,25 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                                               traj_dtype=traj_dtype,
                                               integrator=integrator)
 
-        propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
-                                      key=rep_keys[repetition],
-                                      potential=potential, mesh=mesh)
+        # device-side micro-batching: the WM derived chain is HBM-bound and
+        # peaks at ntraj ~ 8192 (BASELINE.md WM table) — far below
+        # production batch sizes. lax.map over sub-batches keeps the step
+        # intermediates at the optimum while the whole batch stays ONE
+        # dispatch (hk._micro_scan). Opt out / retune via `micro_batch`.
+        micro = task.get("micro_batch", None)
+        if (micro is None and propagator_name == "WM"
+                and task["potential"]["type"] == "anharmonic AS"):
+            micro = 8192
+        if micro:
+            propagator.micro_batch = int(micro)
+            if repetition == (resume_rep or 0):
+                logger.info(f"  device-side micro-batch                   : "
+                            f"{int(micro)}")
+
+        with ptimer.phase("sample"):
+            propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
+                                          key=rep_keys[repetition],
+                                          potential=potential, mesh=mesh)
 
         _export_trajectories(task.get("export_initial", ""), atomic_numbers,
                              propagator, append=(repetition > 0))
@@ -487,9 +509,10 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     logger.info(
                         f" time/fs= {times[done] * units.autime_to_fs:.4f}  "
                         f"norm= {norm:9.6f}")
-                    out = propagator.propagate(
-                        potential, dt, seg, energy0_es=en_zpt,
-                        error_bars=error_bars)
+                    with ptimer.phase("scan"):
+                        out = propagator.propagate(
+                            potential, dt, seg, energy0_es=en_zpt,
+                            error_bars=error_bars)
                     if error_bars:
                         c_seg, k_seg, e_c, e_k = out
                         err_c[done:done + seg] = e_c
@@ -509,12 +532,14 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     error_bars=error_bars)
                 # err_c/err_k come back None when error_bars is off or the
                 # resumed checkpoint predates the request (drop-keys contract)
-                cauto, kic, err_c, err_k = run.run()
+                with ptimer.phase("scan"):
+                    cauto, kic, err_c, err_k = run.run()
             else:
-                out = propagator.propagate(
-                    potential, dt, nt, energy0_es=en_zpt,
-                    chunk=scan_chunk, progress=_progress,
-                    error_bars=error_bars)
+                with ptimer.phase("scan"):
+                    out = propagator.propagate(
+                        potential, dt, nt, energy0_es=en_zpt,
+                        chunk=scan_chunk, progress=_progress,
+                        error_bars=error_bars)
                 if error_bars:
                     cauto, kic, err_c, err_k = out
                 else:
@@ -546,13 +571,20 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             # the two loses this batch (the reference's recovery granularity)
             # but can never double-count it on resume
             os.remove(ckpt_file)
-        total = accumulate_results(filename, cauto, kic, propagator.ntraj,
-                                   autocorrelation_stderr=err_c,
-                                   ic_correlation_stderr=err_k)
+        with ptimer.phase("reduce"):
+            total = accumulate_results(filename, cauto, kic,
+                                       propagator.ntraj,
+                                       autocorrelation_stderr=err_c,
+                                       ic_correlation_stderr=err_k)
         logger.info(f"  accumulated trajectories: {total}")
         if err_c is not None:
             logger.info(f"  MC stderr: |C(t)| max {err_c.max():.2e}, "
                         f"k~ic max {err_k.max():.2e}")
+
+    # machine-produced per-phase wall + throughput (the scan phase of the
+    # first repetition includes the one-time XLA compile)
+    ptimer.log(num_samples * num_repetitions, nt,
+               nchips=max(1, len(devices)) if mesh is not None else 1)
 
 
 def _export_trajectories(filename, atomic_numbers, propagator, append=False):

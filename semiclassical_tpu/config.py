@@ -54,6 +54,7 @@ _DYNAMICS_SCHEMA = {
     "manual_seed": int,
     "calc_norm_every": int,
     "scan_chunk": int,
+    "micro_batch": int,           # device-side sub-batch size (0 = off)
     "checkpoint": str,            # mid-batch checkpoint file ("" = off)
     "checkpoint_every": int,      # steps between checkpoint snapshots
     "error_bars": bool,           # per-step MC standard errors in the npz
