@@ -61,16 +61,23 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _as60_setup
+    from semiclassical_tpu.profiling import PhaseTimer
 
-    if dtype_name == "mixed":
-        prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
-                                traj_dtype=jnp.float64)
-    elif dtype_name == "comp32":
-        prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
-                                traj_dtype="comp32")
-    else:
-        dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
-        prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
+    # per-phase wall-clock accounting (SURVEY §5 tracing/profiling): the
+    # phases block of the emitted JSON is machine-produced by PhaseTimer,
+    # and the headline metric comes from its scan phase
+    timer = PhaseTimer()
+
+    with timer.phase("sample"):
+        if dtype_name == "mixed":
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                    traj_dtype=jnp.float64)
+        elif dtype_name == "comp32":
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                    traj_dtype="comp32")
+        else:
+            dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
     en0 = 0.0
     dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode (dt*w ~ 0.003)
 
@@ -79,21 +86,20 @@ def main():
     # measured window)
     import copy
     snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
-    t0 = time.time()
-    cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
-                                check_energy=False)
-    compile_s = time.time() - t0
+    with timer.phase("compile"):
+        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
+                                    check_energy=False)
     prop.state, prop.trackers, prop.t = snapshot
 
-    t0 = time.time()
-    cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
-                                check_energy=False)
-    wall = time.time() - t0
+    with timer.phase("scan"):
+        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
+                                    check_energy=False)
 
-    assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+    with timer.phase("reduce"):
+        assert np.isfinite(cauto).all() and np.isfinite(kic).all()
 
     nchips = 1  # single-chip benchmark
-    value = ntraj * nt / wall / nchips
+    value = timer.throughput(ntraj, nt, nchips)
     result = {
         "metric": "hk_as60_traj_steps_per_sec_per_chip",
         "value": round(value, 1),
@@ -101,9 +107,11 @@ def main():
         "vs_baseline": round(value / TORCH_CPU_BASELINE, 2),
         "config": {
             "ntraj": ntraj, "nt": nt, "dim": 60, "dtype": dtype_name,
-            "device": str(jax.devices()[0]), "wall_s": round(wall, 3),
-            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "wall_s": round(timer.phases["scan"], 3),
+            "compile_s": round(timer.phases["compile"], 1),
         },
+        "phases": {k: round(v, 3) for k, v in timer.summary().items()},
     }
     print(json.dumps(result))
 

@@ -102,7 +102,7 @@ def main():
 
     # --- full dynamics step, both hessian_eval modes ---
     x0j, Gamma0, zpe = exc.vibrational_groundstate()
-    for mode in ("stage", "step"):
+    for mode in ("stage", "step", "taylor"):
         pot = MolecularGDMLPotential.create(
             model, exc, hess_dtype=jnp.float32, hessian_eval=mode)
         pot = minimize(pot, jnp.asarray(x0j))

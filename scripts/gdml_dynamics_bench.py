@@ -38,11 +38,13 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="full-f64 GDML (emulated on TPU) instead of the "
                          "mixed hess_dtype mode")
-    ap.add_argument("--hessian-eval", choices=("stage", "step"),
+    ap.add_argument("--hessian-eval", choices=("stage", "step", "taylor"),
                     default="stage",
                     help="'step' = one midpoint Hessian per RK4 step, "
                          "frozen across the monodromy update (the sGDML "
-                         "Hessian costs ~20x the gradient)")
+                         "Hessian costs ~20x the gradient); 'taylor' = "
+                         "ONE order-2 eval per step, stage forces from "
+                         "the local quadratic expansion")
     args = ap.parse_args()
 
     import jax

