@@ -219,9 +219,12 @@ def _build_potential(task):
         potential = potentials.MolecularGDMLPotential.create(
             model_pot, nacs_fchk,
             hess_dtype=p.get("hess_dtype") or None,
-            hessian_eval=p.get("hessian_eval", "stage"))
+            hessian_eval=p.get("hessian_eval", "stage"),
+            taylor_every=p.get("taylor_every", 1))
         logger.info("  hessian_eval                              : "
-                    f"{potential.hessian_eval}")
+                    f"{potential.hessian_eval}"
+                    + (f" (re-expansion every {potential.taylor_every} steps)"
+                       if potential.taylor_every > 1 else ""))
         with open(p["excited"]) as f:
             excited_fchk = FormattedCheckpointFile(f)
         x0, Gamma_0, en_zpt = excited_fchk.vibrational_groundstate()

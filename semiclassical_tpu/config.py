@@ -27,7 +27,7 @@ class ConfigurationError(Exception):
 _POTENTIAL_KEYS = {
     "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
     "gdml": {"type": str, "ground": str, "excited": str, "coupling": str,
-             "hess_dtype": str, "hessian_eval": str},
+             "hess_dtype": str, "hessian_eval": str, "taylor_every": int},
     "anharmonic AS": {"type": str, "model_file": str},
 }
 
@@ -36,7 +36,7 @@ _POTENTIAL_KEYS = {
 # are type-checked when present but never demanded.
 _POTENTIAL_OPTIONAL = {
     "harmonic": set(),
-    "gdml": {"hess_dtype", "hessian_eval"},
+    "gdml": {"hess_dtype", "hessian_eval", "taylor_every"},
     "anharmonic AS": set(),
 }
 

@@ -104,7 +104,7 @@ class MolecularHarmonicPotential:
         return jnp.zeros_like(q)
 
 
-@pytree_dataclass(meta=("hess_dtype", "hessian_eval"))
+@pytree_dataclass(meta=("hess_dtype", "hessian_eval", "taylor_every"))
 class MolecularGDMLPotential:
     """sGDML machine-learned ground-state PES with constant NAC vector.
 
@@ -133,10 +133,15 @@ class MolecularGDMLPotential:
     origin: jnp.ndarray  # ()
     hess_dtype: str
     hessian_eval: str = "stage"
+    # taylor_every > 1: ONE order-2 evaluation per window of that many
+    # steps — the scan carries the frozen LocalQuadratic and every step
+    # inside the window runs the taylor machinery on it (requires
+    # hessian_eval="taylor"; see eom.make_taylor_window)
+    taylor_every: int = 1
 
     @staticmethod
     def create(model_pot, nac_fchk, dtype=jnp.float64, hess_dtype=None,
-               hessian_eval="stage"):
+               hessian_eval="stage", taylor_every=1):
         gdml = GDMLParams.from_npz(model_pot, dtype=dtype)
         nac0 = nac_fchk.nonadiabatic_coupling()
         model_z = np.asarray(dict(model_pot)["z"])
@@ -148,6 +153,12 @@ class MolecularGDMLPotential:
         if hessian_eval not in ("stage", "step", "taylor"):
             raise ValueError(f"unknown hessian_eval {hessian_eval!r} "
                              "(expected 'stage', 'step' or 'taylor')")
+        taylor_every = int(taylor_every)
+        if taylor_every < 1:
+            raise ValueError("taylor_every must be >= 1")
+        if taylor_every > 1 and hessian_eval != "taylor":
+            raise ValueError(
+                "taylor_every > 1 requires hessian_eval='taylor'")
         return MolecularGDMLPotential(
             gdml=gdml,
             nac0=jnp.asarray(nac0, dtype=dtype),
@@ -155,6 +166,7 @@ class MolecularGDMLPotential:
             origin=jnp.asarray(0.0, dtype=dtype),
             hess_dtype="" if hess_dtype is None else jnp.dtype(hess_dtype).name,
             hessian_eval=hessian_eval,
+            taylor_every=taylor_every,
         )
 
     def dimensions(self) -> int:

@@ -46,7 +46,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from semiclassical_tpu.potentials.base import ConstHessian, DiagHessian
+from semiclassical_tpu.potentials.base import (ConstHessian, DenseHessian,
+                                               DiagHessian)
 from semiclassical_tpu.propagation.state import TrajState
 
 __all__ = ["state_derivative", "rk4_step"]
@@ -321,6 +322,35 @@ def rk4_step(state: TrajState, potential, dt):
         )
         return new_state, mean_energy
 
+    d = state.q.shape[1]
+    if frozen_hess and isinstance(H1, DenseHessian):
+        # Frozen dense Hessian (step/taylor modes): the 4-stage recurrence
+        # with constant H is EXACTLY the degree-4 truncated exponential
+        #     T = I + h L + h^2/2 L^2 + h^3/6 L^3 + h^4/24 L^4,
+        #     L = [[0, diag(1/m)], [-H_n, 0]]   (per trajectory),
+        # evaluated by Horner on the COLUMN-STACKED monodromy blocks
+        # [Mqq | Mqp] / [Mpq | Mpp]: each Horner stage is ONE batched
+        # (n, d, d) @ (n, d, 2d) H-matmul plus a mass row-scale — 4
+        # H-matmuls per step instead of the stage chain's 8 d-wide ones,
+        # at 2d output lanes (d = 51 pads the MXU tile to 39%; 2d to
+        # 80%). Algebraically identical to the pair() chain below with
+        # H1 = .. = H4 (the composition test in tests/test_hessian_eval
+        # pins it); measured 4.4 -> ~1.5 ms of the 51-dim coumarin step.
+        Mq = jnp.concatenate([state.Mqq, state.Mqp], axis=2)   # (n, d, 2d)
+        Mp = jnp.concatenate([state.Mpq, state.Mpp], axis=2)
+        Yq, Yp = Mq, Mp
+        for c in (dts / 4.0, dts / 3.0, dts / 2.0, dts):
+            LYq = Yp * im
+            LYp = -H1.matmul(Yq)
+            Yq = Mq + c * LYq
+            Yp = Mp + c * LYp
+        new_state = TrajState(
+            q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
+            Mqq=Yq[:, :, :d], Mqp=Yq[:, :, d:],
+            Mpq=Yp[:, :, :d], Mpp=Yp[:, :, d:],
+        )
+        return new_state, mean_energy
+
     def pair(Ma, Mb):
         """RK4 for dMa/dt = Mb/m, dMb/dt = -H(t) Ma, with sequential
         accumulation: at most 8 (n, d, d) buffers live at once."""
@@ -346,9 +376,115 @@ def rk4_step(state: TrajState, potential, dt):
         kb = -H4.matmul(sa)
         return acc_a + h6 * ka, acc_b + h6 * kb
 
+    # NOTE: the pairs deliberately run sequentially (not column-stacked):
+    # stacking would fill 2d MXU lanes but double the peak monodromy
+    # memory, halving the dense-path batch ceiling (the frozen-Hessian
+    # branch above stacks because its use cases run far below ceiling)
     Mqq, Mpq = pair(state.Mqq, state.Mpq)
     Mqp, Mpp = pair(state.Mqp, state.Mpp)
 
     new_state = TrajState(q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
                           Mqq=Mqq, Mqp=Mqp, Mpq=Mpq, Mpp=Mpp)
     return new_state, mean_energy
+
+
+# ---------------------------------------------------------------------------
+# k-step re-expansion windows (taylor_every)
+# ---------------------------------------------------------------------------
+
+from semiclassical_tpu.pytree import pytree_dataclass as _pytree_dataclass
+
+
+@_pytree_dataclass(meta=("hessian_eval",))
+class LocalQuadratic:
+    """Frozen local quadratic expansion of an expensive PES — the
+    `taylor_every` window surrogate:
+
+        V(q) = v0 + g0 . (q - q_mid) + 1/2 (q - q_mid)^T H (q - q_mid).
+
+    Acts as the potential inside rk4_step with hessian_eval='taylor':
+    re-expanding a quadratic about any point is exact, so the per-step
+    taylor machinery reproduces this window's forces and freezes this
+    window's H for the monodromy. Precision: v0/g0 keep the parent's
+    (f64) dtype — they anchor the action phase; H rides at the parent's
+    hess_dtype and only ever scales small step-size displacements.
+    """
+
+    q_mid: jnp.ndarray   # (n, d)
+    v0: jnp.ndarray      # (n,)
+    g0: jnp.ndarray      # (n, d)
+    H: jnp.ndarray       # (n, d, d)
+    mass: jnp.ndarray    # (d,)
+    nac0: jnp.ndarray    # (d,)
+    hessian_eval: str = "taylor"
+
+    def dimensions(self):
+        return self.q_mid.shape[1]
+
+    def masses(self):
+        return self.mass
+
+    def local_expansion(self, q):
+        delta = q - self.q_mid                                # (n, d)
+        hd = jnp.einsum("nag,ng->na", self.H,
+                        delta.astype(self.H.dtype))           # (n, d) @ ht
+        # the linear anchor term at full precision, the quadratic
+        # corrections at the Hessian's precision (they scale |delta|^2)
+        v = (self.v0 + jnp.sum(self.g0 * delta, axis=1)
+             + 0.5 * jnp.sum(hd * delta.astype(hd.dtype),
+                             axis=1).astype(self.v0.dtype))
+        grad = self.g0 + hd.astype(self.g0.dtype)
+        from semiclassical_tpu.potentials.base import DenseHessian as _DH
+        return v, grad, _DH(mat=self.H)
+
+    def derivative_coupling_1st(self, q):
+        return jnp.broadcast_to(self.nac0[None, :], q.shape)
+
+    def derivative_coupling_2nd(self, q):
+        return jnp.zeros_like(q)
+
+
+def make_taylor_window(potential, dt, every):
+    """(carry0_fn, step_fn) implementing the k-step re-expansion window
+    for `hessian_eval='taylor'` potentials (`taylor_every` keyword).
+
+    One order-2 PES evaluation per WINDOW of `every` steps: the window
+    expands the real PES once at the free-flight window midpoint, and all
+    steps inside the window run the per-step taylor machinery on the
+    frozen quadratic (exact for a quadratic — stage forces and monodromy
+    Hessian are the window expansion's). Stage-force error grows to
+    O((every dt |qdot|)^2 ||d3V||) at the window edges — 2nd-order in the
+    window length, gated in tests/test_hessian_eval.py. Window phase
+    restarts at every scan segment (a fresh expansion at the segment
+    head), so results can shift within the approximation error when
+    `scan_chunk` changes.
+    """
+    inv_m = 1.0 / potential.masses()
+
+    def expand(state):
+        q, p = state.q, state.p
+        if state.compensated:
+            q = q + state.qc
+            p = p + state.pc
+        half_window = 0.5 * every * jnp.asarray(dt).astype(q.dtype)
+        qp = q + half_window * (p * inv_m[None, :].astype(q.dtype))
+        v0, g0, H = potential.local_expansion(qp)
+        return LocalQuadratic(
+            q_mid=qp, v0=v0, g0=g0,
+            H=jnp.broadcast_to(H.dense(),
+                               (q.shape[0],) + (q.shape[1],) * 2),
+            mass=potential.masses(),
+            nac0=potential.derivative_coupling_1st(qp[:1])[0])
+
+    def carry0(state0):
+        return (expand(state0), jnp.asarray(0, dtype=jnp.int32))
+
+    def step(state, sc):
+        quad, cnt = sc
+        quad = jax.lax.cond(
+            jnp.logical_and(cnt % every == 0, cnt > 0),
+            lambda _: expand(state), lambda _: quad, None)
+        new_state, en = rk4_step(state, quad, dt)
+        return new_state, en, (quad, cnt + 1)
+
+    return carry0, step

@@ -820,6 +820,29 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
                                     pack.sub_idx)
         return (state_fin, tracker, t0 + nt * dt, mcarry), outs
 
+    every = int(getattr(potential, "taylor_every", 1) or 1)
+    if every > 1 and step_fn is rk4_step:
+        # taylor_every re-expansion windows: ONE order-2 PES evaluation
+        # per `every` steps; the window's frozen LocalQuadratic rides the
+        # scan carry (see eom.make_taylor_window)
+        from semiclassical_tpu.propagation.eom import make_taylor_window
+        carry0_fn, wstep = make_taylor_window(potential, dt, every)
+
+        def wbody(carry, _):
+            state, tracker, t, sc = carry
+            c2 = hk_prefactor_det(params, state)
+            tracker = tracker.update(c2)
+            c = jnp.sqrt(c2) * tracker.signs
+            obs = hk_observables(params, bc, state, c, potential,
+                                 with_m2=with_m2)
+            new_state, en, sc = wstep(state, sc)
+            return (new_state, tracker, t + dt, sc), obs + (en,)
+
+        (state, tracker, t, _), outs = lax.scan(
+            wbody, (state0, tracker0, t0, carry0_fn(state0)), None,
+            length=nt)
+        return (state, tracker, t, None), outs
+
     def body(carry, _):
         state, tracker, t = carry
         c2 = hk_prefactor_det(params, state)

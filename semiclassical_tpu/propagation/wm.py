@@ -1207,6 +1207,31 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
                 for tr, ts in zip(trackers, mcarry.sub_trackers))
         return (state_fin, trackers, t0 + nt * dt, mcarry), outs
 
+    every = int(getattr(potential, "taylor_every", 1) or 1)
+    if every > 1 and step_fn is rk4_step:
+        # taylor_every re-expansion windows — see _hk_scan
+        from semiclassical_tpu.propagation.eom import make_taylor_window
+        carry0_fn, wstep = make_taylor_window(potential, dt, every)
+
+        def wbody(carry, _):
+            state, (tr_c, tr_A, tr_M), t, sc = carry
+            c2 = hk_prefactor_det(params.hk, state)
+            tr_c = tr_c.update(c2)
+            c = jnp.sqrt(c2) * tr_c.signs
+            sd = wm_scan_derived(params, bc, state, potential)
+            tr_A = tr_A.update(sd.detA)
+            tr_M = tr_M.update(sd.detM)
+            obs = wm_scan_observables(params, bc, state, sd, c,
+                                      tr_A.signs, tr_M.signs,
+                                      with_m2=with_m2)
+            new_state, en, sc = wstep(state, sc)
+            return (new_state, (tr_c, tr_A, tr_M), t + dt, sc), obs + (en,)
+
+        (state, trackers, t, _), outs = lax.scan(
+            wbody, (state0, trackers0, t0, carry0_fn(state0)), None,
+            length=nt)
+        return (state, trackers, t, None), outs
+
     def body(carry, _):
         state, (tr_c, tr_A, tr_M), t = carry
         c2 = hk_prefactor_det(params.hk, state)

@@ -18,7 +18,7 @@ from semiclassical_tpu.propagation.eom import rk4_step
 from semiclassical_tpu.pytree import pytree_dataclass
 
 
-@pytree_dataclass(meta=("hessian_eval",))
+@pytree_dataclass(meta=("hessian_eval", "taylor_every"))
 class _CosCoupledPotential:
     """V = 1/2 q^T K q - lam cos(c.q) — a bounded anharmonic coupling with
     a genuinely geometry-dependent dense Hessian K + lam cos(c.q) c c^T
@@ -30,6 +30,7 @@ class _CosCoupledPotential:
     lam: jnp.ndarray
     nac0: jnp.ndarray
     hessian_eval: str = "stage"
+    taylor_every: int = 1
 
     def dimensions(self):
         return self.K.shape[0]
@@ -391,3 +392,126 @@ def test_gdml_taylor_close(ref_data):
     np.testing.assert_allclose(c_t, c_stage, rtol=0, atol=5e-6)
     np.testing.assert_allclose(k_t, k_stage, rtol=0, atol=5e-6)
     assert np.abs(c_stage[-1] - c_stage[0]) > 1e-4
+
+
+# --- taylor_every: k-step re-expansion windows (one order-2 eval per
+# window; eom.make_taylor_window) ---
+
+
+def test_window_exact_for_quadratic_potential():
+    """lam = 0: expanding a global quadratic is exact whatever the window
+    length, so even very long windows must match the 4-stage mode to
+    roundoff."""
+    from semiclassical_tpu.pytree import replace
+    pot_stage = _make_potential(lam=0.0)
+    pot_w = replace(pot_stage, hessian_eval="taylor", taylor_every=8)
+    s1, c1, k1 = _run(pot_stage, nt=16)
+    s2, c2, k2 = _run(pot_w, nt=16)
+    np.testing.assert_allclose(np.asarray(s2.q), np.asarray(s1.q),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(c2, c1, rtol=1e-11, atol=1e-13)
+
+
+def test_window_second_order_in_window_length():
+    """The stage-force error is 2nd-order in the window length: at fixed
+    horizon, the gap between taylor_every=4 and per-step taylor must
+    shrink ~4x when dt halves (window length halves with it)."""
+    from semiclassical_tpu.pytree import replace
+    pot = _make_potential(lam=2.0e-2)
+    pot_t = replace(pot, hessian_eval="taylor")
+    pot_w = replace(pot, hessian_eval="taylor", taylor_every=4)
+
+    def gap(dt, nt):
+        s1, _, _ = _run(pot_t, nt=nt, dt=dt)
+        s2, _, _ = _run(pot_w, nt=nt, dt=dt)
+        return max(np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max(),
+                   np.abs(np.asarray(s1.p) - np.asarray(s2.p)).max())
+
+    g_coarse = gap(0.5, 16)
+    g_fine = gap(0.25, 32)
+    assert g_coarse > 0.0     # windows really freeze the expansion
+    assert g_coarse / g_fine > 3.0
+
+
+def test_window_matches_manual_quadratic_composition():
+    """taylor_every=nt (one window for the whole scan) must equal running
+    every step on the hand-built quadratic expanded at the window
+    midpoint — the defining equation of the window mode."""
+    from semiclassical_tpu.propagation.eom import LocalQuadratic
+    from semiclassical_tpu.pytree import replace
+
+    pot = _make_potential(lam=2.0e-2)
+    nt, dt = 4, 0.5
+    pot_w = replace(pot, hessian_eval="taylor", taylor_every=nt)
+    s_w, c_w, k_w = _run(pot_w, nt=nt, dt=dt)
+
+    # manual: expand once at q0 + (nt dt / 2) p0 (masses are 1), then
+    # propagate the ORIGINAL ensemble on that frozen quadratic
+    pot_plain = pot
+    d = pot.dimensions()
+    w = np.sqrt(np.diag(np.asarray(pot.K)))
+    Gamma = np.diag(w)
+    q0v = np.full(d, 0.3)
+    from semiclassical_tpu.propagation import HermanKlukPropagator
+    prop = HermanKlukPropagator(Gamma, Gamma)
+    prop.initial_conditions(q0v, np.zeros(d), Gamma, ntraj=32, key=3,
+                            potential=pot_plain)
+    st0 = prop.state
+    q_mid = st0.q + 0.5 * nt * dt * st0.p
+    v0, g0, H0 = pot_plain.local_expansion(q_mid)
+    quad = LocalQuadratic(q_mid=q_mid, v0=v0, g0=g0, H=H0.mat,
+                          mass=jnp.ones(d), nac0=pot_plain.nac0)
+    c_m, k_m = prop.propagate(quad, dt, nt,
+                              energy0_es=float(w.sum() / 2))
+    np.testing.assert_allclose(c_w, c_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(k_w, k_m, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_gdml_window_close(ref_data):
+    """Coumarin sGDML: taylor_every=8 must track the per-step taylor mode
+    at production-scale steps (identical ensembles)."""
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    def run(**kw):
+        pot = MolecularGDMLPotential.create(model, exc, **kw)
+        prop = HermanKlukPropagator(Gamma0, Gamma0)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=16,
+                                key=7, potential=pot)
+        c, k = prop.propagate(pot, 0.25, 16, energy0_es=zpe)
+        return c, k
+
+    c_t, k_t = run(hessian_eval="taylor")
+    c_w, k_w = run(hessian_eval="taylor", taylor_every=8)
+    assert np.abs(c_w - c_t).max() > 0.0
+    np.testing.assert_allclose(c_w, c_t, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(k_w, k_t, rtol=0, atol=2e-5)
+
+
+def test_create_rejects_window_without_taylor(ref_data):
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    with pytest.raises(ValueError, match="taylor_every"):
+        MolecularGDMLPotential.create(model, exc, hessian_eval="step",
+                                      taylor_every=4)
