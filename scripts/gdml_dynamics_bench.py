@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="full-f64 GDML (emulated on TPU) instead of the "
                          "mixed hess_dtype mode")
+    ap.add_argument("--taylor-every", type=int, default=1,
+                    help="re-expansion window length (taylor mode)")
     ap.add_argument("--hessian-eval", choices=("stage", "step", "taylor"),
                     default="stage",
                     help="'step' = one midpoint Hessian per RK4 step, "
@@ -68,7 +70,7 @@ def main():
         exc = FormattedCheckpointFile(f)
     pot = MolecularGDMLPotential.create(
         model, exc, hess_dtype=None if args.f64 else jnp.float32,
-        hessian_eval=args.hessian_eval)
+        hessian_eval=args.hessian_eval, taylor_every=args.taylor_every)
     x0, Gamma0, zpe = exc.vibrational_groundstate()
     pot = minimize(pot, jnp.asarray(x0))
 
@@ -97,6 +99,7 @@ def main():
         "dim": int(pot.dimensions()),
         "mode": "f64" if args.f64 else "mixed(hess_dtype=f32)",
         "hessian_eval": args.hessian_eval,
+        "taylor_every": args.taylor_every,
         "wall_s": round(wall, 3),
         "ms_per_step": round(1e3 * wall / args.nt, 2),
         "traj_steps_per_s": round(args.ntraj * args.nt / wall, 1),
