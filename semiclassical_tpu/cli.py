@@ -245,7 +245,15 @@ def _build_potential(task):
         # horizontal shift dQ from the Huang-Rhys factor S = dQ^2 omega / 2
         dQ = np.sqrt(2.0 * np.abs(S) / omega) * np.sign(S)
         dQ[omega == 0.0] = 0.0
-        potential = potentials.MorsePotential.create(omega, chi, nac)
+        potential = potentials.MorsePotential.create(
+            omega, chi, nac,
+            hessian_eval=p.get("hessian_eval", "stage"),
+            taylor_every=p.get("taylor_every", 1))
+        if potential.hessian_eval != "stage":
+            logger.info("  hessian_eval                              : "
+                        f"{potential.hessian_eval}"
+                        + (f" (re-expansion every {potential.taylor_every}"
+                           " steps)" if potential.taylor_every > 1 else ""))
         Gamma_0 = np.diag(omega)
         q0 = dQ
         p0 = 0.0 * q0

@@ -28,7 +28,8 @@ _POTENTIAL_KEYS = {
     "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
     "gdml": {"type": str, "ground": str, "excited": str, "coupling": str,
              "hess_dtype": str, "hessian_eval": str, "taylor_every": int},
-    "anharmonic AS": {"type": str, "model_file": str},
+    "anharmonic AS": {"type": str, "model_file": str,
+                      "hessian_eval": str, "taylor_every": int},
 }
 
 # Keys that are resolved with a default at the use site (reference resolves
@@ -37,7 +38,7 @@ _POTENTIAL_KEYS = {
 _POTENTIAL_OPTIONAL = {
     "harmonic": set(),
     "gdml": {"hess_dtype", "hessian_eval", "taylor_every"},
-    "anharmonic AS": set(),
+    "anharmonic AS": {"hessian_eval", "taylor_every"},
 }
 
 _DYNAMICS_SCHEMA = {

@@ -72,7 +72,7 @@ class NonHarmonicPotential:
         return jnp.zeros_like(q)
 
 
-@pytree_dataclass(meta=("harmonic",))
+@pytree_dataclass(meta=("harmonic", "hessian_eval", "taylor_every"))
 class MorsePotential:
     """N separable Morse modes with anharmonicity chi (DOI 10.1063/1.5143212 eqn. 6).
 
@@ -91,9 +91,18 @@ class MorsePotential:
     D: jnp.ndarray      # (d,)
     nac: jnp.ndarray    # (d,)
     harmonic: bool      # static: all chi == 0
+    # reduced-cost PES sampling, same contract as MolecularGDMLPotential:
+    # "stage" (default, reference trajectory parity), "taylor" (one PES
+    # evaluation per step, local-quadratic stage forces — 2nd order in
+    # dt), optionally with taylor_every-step re-expansion windows. The
+    # flagship benchmark keeps "stage" (its unit of work is the
+    # reference RK4 loop); these are opt-in throughput modes.
+    hessian_eval: str = "stage"
+    taylor_every: int = 1
 
     @staticmethod
-    def create(omega, chi, nac, dtype=jnp.float64):
+    def create(omega, chi, nac, dtype=jnp.float64, hessian_eval="stage",
+               taylor_every=1):
         omega = np.asarray(omega, dtype=np.float64)
         chi = np.array(chi, dtype=np.float64, copy=True)
         nac = np.asarray(nac, dtype=np.float64)
@@ -104,12 +113,22 @@ class MorsePotential:
             chi[chi == 0.0] += 1.0e-4
         a = np.sqrt(2 * omega * chi)
         D = np.where(chi > 0, 0.25 * omega / np.where(chi > 0, chi, 1.0), 0.0)
+        if hessian_eval not in ("stage", "step", "taylor"):
+            raise ValueError(f"unknown hessian_eval {hessian_eval!r}")
+        taylor_every = int(taylor_every)
+        if taylor_every < 1:
+            raise ValueError("taylor_every must be >= 1")
+        if taylor_every > 1 and hessian_eval != "taylor":
+            raise ValueError(
+                "taylor_every > 1 requires hessian_eval='taylor'")
         return MorsePotential(
             omega=jnp.asarray(omega, dtype=dtype),
             a=jnp.asarray(a, dtype=dtype),
             D=jnp.asarray(D, dtype=dtype),
             nac=jnp.asarray(nac, dtype=dtype),
             harmonic=harmonic,
+            hessian_eval=hessian_eval,
+            taylor_every=taylor_every,
         )
 
     def dimensions(self) -> int:

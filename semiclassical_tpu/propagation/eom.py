@@ -413,7 +413,7 @@ class LocalQuadratic:
     q_mid: jnp.ndarray   # (n, d)
     v0: jnp.ndarray      # (n,)
     g0: jnp.ndarray      # (n, d)
-    H: jnp.ndarray       # (n, d, d)
+    H: jnp.ndarray       # (n, d, d) dense, or (n, d) diagonal (separable)
     mass: jnp.ndarray    # (d,)
     nac0: jnp.ndarray    # (d,)
     hessian_eval: str = "taylor"
@@ -424,18 +424,22 @@ class LocalQuadratic:
     def masses(self):
         return self.mass
 
+    def _hessian_op(self):
+        from semiclassical_tpu.potentials.base import (DenseHessian as _DH,
+                                                       DiagHessian as _DG)
+        return _DG(diag=self.H) if self.H.ndim == 2 else _DH(mat=self.H)
+
     def local_expansion(self, q):
         delta = q - self.q_mid                                # (n, d)
-        hd = jnp.einsum("nag,ng->na", self.H,
-                        delta.astype(self.H.dtype))           # (n, d) @ ht
+        hop = self._hessian_op()
+        hd = hop.matvec(delta.astype(self.H.dtype))           # (n, d) @ ht
         # the linear anchor term at full precision, the quadratic
         # corrections at the Hessian's precision (they scale |delta|^2)
         v = (self.v0 + jnp.sum(self.g0 * delta, axis=1)
              + 0.5 * jnp.sum(hd * delta.astype(hd.dtype),
                              axis=1).astype(self.v0.dtype))
         grad = self.g0 + hd.astype(self.g0.dtype)
-        from semiclassical_tpu.potentials.base import DenseHessian as _DH
-        return v, grad, _DH(mat=self.H)
+        return v, grad, hop
 
     def derivative_coupling_1st(self, q):
         return jnp.broadcast_to(self.nac0[None, :], q.shape)
@@ -469,10 +473,13 @@ def make_taylor_window(potential, dt, every):
         half_window = 0.5 * every * jnp.asarray(dt).astype(q.dtype)
         qp = q + half_window * (p * inv_m[None, :].astype(q.dtype))
         v0, g0, H = potential.local_expansion(qp)
+        if isinstance(H, DiagHessian):
+            Hw = H.diag                         # separable: (n, d) diagonal
+        else:
+            Hw = jnp.broadcast_to(H.dense(),
+                                  (q.shape[0],) + (q.shape[1],) * 2)
         return LocalQuadratic(
-            q_mid=qp, v0=v0, g0=g0,
-            H=jnp.broadcast_to(H.dense(),
-                               (q.shape[0],) + (q.shape[1],) * 2),
+            q_mid=qp, v0=v0, g0=g0, H=Hw,
             mass=potential.masses(),
             nac0=potential.derivative_coupling_1st(qp[:1])[0])
 

@@ -515,3 +515,88 @@ def test_create_rejects_window_without_taylor(ref_data):
     with pytest.raises(ValueError, match="taylor_every"):
         MolecularGDMLPotential.create(model, exc, hessian_eval="step",
                                       taylor_every=4)
+
+
+# --- taylor on separable potentials (DiagHessian + diagonal-monodromy
+# state — the AS-model code path) ---
+
+
+def _morse(hessian_eval="stage", taylor_every=1, d=3):
+    from semiclassical_tpu.potentials import MorsePotential
+    rng = np.random.default_rng(2)
+    omega = rng.uniform(0.004, 0.01, size=d)
+    nac = rng.uniform(-1.0, 1.0, size=d)
+    return MorsePotential.create(omega, np.full(d, 0.02), nac,
+                                 hessian_eval=hessian_eval,
+                                 taylor_every=taylor_every)
+
+
+def _run_morse(pot, nt=32, dt=1.0, ntraj=32, key=9):
+    d = pot.dimensions()
+    Gamma = np.diag(np.asarray(pot.omega))
+    prop = HermanKlukPropagator(Gamma, Gamma)
+    prop.initial_conditions(np.full(d, 0.25), np.zeros(d), Gamma,
+                            ntraj=ntraj, key=key, potential=pot)
+    assert prop.state.diag_monodromy  # the separable representation
+    cauto, kic = prop.propagate(pot, dt, nt, energy0_es=0.05)
+    return prop.state, cauto, kic
+
+
+def test_morse_taylor_second_order_convergence():
+    pot_s = _morse("stage")
+    pot_t = _morse("taylor")
+
+    def gap(dt, nt):
+        s1, _, _ = _run_morse(pot_s, nt=nt, dt=dt)
+        s2, _, _ = _run_morse(pot_t, nt=nt, dt=dt)
+        return max(np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max(),
+                   np.abs(np.asarray(s1.p) - np.asarray(s2.p)).max())
+
+    g_coarse = gap(4.0, 8)
+    g_fine = gap(2.0, 16)
+    assert g_coarse > 0.0
+    assert g_coarse / g_fine > 3.0
+
+
+def test_morse_taylor_window_close_and_monodromy_diag():
+    """The window path must keep the diagonal-monodromy representation
+    (LocalQuadratic returns DiagHessian for separable parents) and track
+    the per-step taylor mode at 2nd order in the window length."""
+    pot_t = _morse("taylor")
+    pot_w = _morse("taylor", taylor_every=4)
+    s_t, c_t, k_t = _run_morse(pot_t, nt=16, dt=1.0)
+    s_w, c_w, k_w = _run_morse(pot_w, nt=16, dt=1.0)
+    assert s_w.diag_monodromy
+    assert np.abs(c_w - c_t).max() > 0.0
+    np.testing.assert_allclose(c_w, c_t, rtol=0, atol=5e-5)
+
+    def gap(dt, nt):
+        s1, _, _ = _run_morse(pot_t, nt=nt, dt=dt)
+        s2, _, _ = _run_morse(pot_w, nt=nt, dt=dt)
+        return np.abs(np.asarray(s1.q) - np.asarray(s2.q)).max()
+
+    assert gap(2.0, 8) / gap(1.0, 16) > 3.0
+
+
+def test_morse_taylor_comp32():
+    """taylor + comp32 trajectories on the separable path: runs, stays
+    finite, and tracks the f64 taylor run at the comp32 accuracy scale."""
+    import jax.numpy as jnp
+
+    pot = _morse("taylor")
+    d = pot.dimensions()
+    Gamma = np.diag(np.asarray(pot.omega))
+
+    def run(**kw):
+        pp = (jax.tree.map(lambda x: x.astype(jnp.float32), pot)
+              if kw else pot)
+        prop = HermanKlukPropagator(Gamma, Gamma, **kw)
+        prop.initial_conditions(np.full(d, 0.25), np.zeros(d), Gamma,
+                                ntraj=64, key=11, potential=pp)
+        return prop.propagate(pp, 1.0, 25, energy0_es=0.05)
+
+    import jax
+    c64, k64 = run()
+    c32, k32 = run(dtype=jnp.float32, traj_dtype="comp32")
+    np.testing.assert_allclose(c32, c64, rtol=0, atol=5e-4)
+    assert np.isfinite(k32).all()
