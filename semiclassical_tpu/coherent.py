@@ -172,6 +172,16 @@ def overlap_vector(ov: OverlapParams, qi, pi, qj, pj):
 def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
     """Full overlap matrix <qi(i)|qj(j)> of shape (ni, nj).
 
+    See overlap_exponent_matrix for the expansion strategy."""
+    re, im = overlap_exponent_matrix(ov, qi, pi, qj, pj)
+    return ov.fac * complex_exp(re, im, ov.fac.dtype)
+
+
+def overlap_exponent_matrix(ov: OverlapParams, qi, pi, qj, pj):
+    """(re, im) exponent parts of the full pair-overlap matrix (ni, nj) —
+    for callers that fold additional log-scale factors (log-coefficients)
+    into the exponent before exponentiating (the range-safe norm).
+
     The quadratic forms are *expanded* so the pairwise structure reduces to
     per-vector diagonals plus (ni, d) @ (d, nj) matmuls — O(ni nj d) matmul
     flops on the MXU with O(ni nj) memory, instead of materialising the
@@ -208,7 +218,7 @@ def overlap_matrix(ov: OverlapParams, qi, pi, qj, pj):
           - qi @ Cpj.T
           + qcp_ii[:, None]) / hbar
 
-    return ov.fac * complex_exp(re, im, ov.fac.dtype)
+    return re, im
 
 
 @pytree_dataclass(meta=("rank",))

@@ -706,6 +706,82 @@ def _hk_norm_block_term(overlap_params, qi, pi, vi, qj, pj, vj):
     return jnp.einsum("i,ij,j", jnp.conj(vi), olap, vj)
 
 
+def hk_log_coefficients(params: HKParams, bc: BatchConstants,
+                        state: TrajState, c_signed):
+    """log v_i of the fully weighted HK expansion coefficients as two f64
+    arrays (log_re = log |v_i|, log_im = arg v_i) — the range-safe form of
+    hk_coefficients: the normalised MC weights exp(logw_norm) alone span
+    exp(+-O(100)) at high mode counts and overflow f32/f64 linear scale,
+    while the combined exponent stays O(-log n) for every contributing
+    trajectory (vi tail suppression cancels the weight growth — the same
+    fusion hk_batch_constants applies to the observables). Validated to
+    1e-16 against hk_coefficients where the linear scale is finite
+    (tests/test_norm_device.py). Cf. wm_log_coefficients."""
+    f64 = jnp.float64
+    fac = params.csoi0.fac
+    log_re = (jnp.log(jnp.abs(c_signed)).astype(f64)
+              + bc.obs_re.astype(f64)
+              + jnp.log(jnp.abs(fac)).astype(f64)
+              + bc.log_weight_scale)
+    log_im = (jnp.angle(c_signed).astype(f64)
+              + state.S.astype(f64) / hbar
+              + bc.obs_im.astype(f64)
+              + jnp.angle(fac).astype(f64))
+    return log_re, log_im
+
+
+def _hk_norm_log_block_term(overlap_params, qi, pi, lri, lii, qj, pj, lij_r,
+                            lij_i):
+    """Log-space pair block: conj(v_i) <g_i|g_j> v_j assembled as ONE
+    exponent per entry (log-coefficients + the pair-overlap exponent +
+    log fac) — finite wherever the true pair term is, independent of the
+    linear-scale range of v or the normalised weights."""
+    from semiclassical_tpu.coherent import overlap_exponent_matrix
+
+    re, im = overlap_exponent_matrix(overlap_params, qi, pi, qj, pj)
+    rd = re.dtype
+    fac = overlap_params.fac
+    total_re = (lri.astype(rd)[:, None] + lij_r.astype(rd)[None, :] + re
+                + jnp.log(jnp.abs(fac)).astype(rd))
+    total_im = ((-lii).astype(rd)[:, None] + lij_i.astype(rd)[None, :] + im
+                + jnp.angle(fac).astype(rd))
+    return jnp.sum(complex_exp(total_re, total_im, fac.dtype))
+
+
+_hk_norm_log_block_jit = jax.jit(_hk_norm_log_block_term)
+
+
+def pairwise_norm_log(overlap_params, q, p, log_v, block=4096, mesh=None):
+    """|psi| from log-coefficients — the range-safe pairwise norm (the
+    linear `pairwise_norm` is reference-equivalent but its coefficients
+    overflow/underflow the complex dtype at high mode counts). Same three
+    execution routes as pairwise_norm."""
+    lr, li = log_v
+    arrays = (q, p, lr, li)
+
+    if mesh is not None:
+        norm2 = _pair_sum_ring(_hk_norm_log_block_term, overlap_params,
+                               arrays, mesh, block)
+        return float(np.sqrt(norm2))
+
+    n = q.shape[0]
+    if n % block == 0:
+        return float(np.sqrt(blocked_pair_sum(
+            _hk_norm_log_block_term, overlap_params, arrays, block=block)))
+
+    nblocks = -(-n // block)
+    norm2 = 0.0
+    for ib in range(nblocks):
+        sl_i = slice(ib * block, min((ib + 1) * block, n))
+        for jb in range(ib, nblocks):
+            sl_j = slice(jb * block, min((jb + 1) * block, n))
+            term = complex(_hk_norm_log_block_jit(
+                overlap_params, q[sl_i], p[sl_i], lr[sl_i], li[sl_i],
+                q[sl_j], p[sl_j], lr[sl_j], li[sl_j]))
+            norm2 += term.real if jb == ib else 2.0 * term.real
+    return float(np.sqrt(norm2))
+
+
 def pairwise_norm(overlap_params, q, p, v, block=4096, mesh=None):
     """|psi| = sqrt( sum_ij v_i^* <g_i|g_j> v_j ) by blocked accumulation.
 
@@ -1429,10 +1505,14 @@ class HermanKlukPropagator:
     def norm(self):
         """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic).
         Single device: one jitted block-pair program; under a mesh: a
-        shard_map systolic ring over ICI (SURVEY P4)."""
-        v = self.coefficients()
-        return pairwise_norm(self.params.csott, self.state.q, self.state.p,
-                             v, mesh=self.mesh)
+        shard_map systolic ring over ICI (SURVEY P4). Runs in log space
+        (hk_log_coefficients) so the diagnostic stays finite at high mode
+        counts, where the linear coefficients over/underflow the complex
+        dtype (r4; same treatment as wm_norm)."""
+        c = self.semiclassical_prefactor()
+        log_v = hk_log_coefficients(self.params, self._bc, self.state, c)
+        return pairwise_norm_log(self.params.csott, self.state.q,
+                                 self.state.p, log_v, mesh=self.mesh)
 
     def wavefunction(self, x):
         """psi(x, t) on a spatial grid x of shape (nx, d)."""

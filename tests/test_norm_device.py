@@ -97,3 +97,84 @@ def test_wm_ring_matches_single_device():
     p_mesh = _wm(mesh=mesh)
     p_solo = _wm(mesh=None)
     assert abs(p_mesh.norm() - p_solo.norm()) < 1e-10
+
+
+# --- log-space HK norm (r4): range-safe at high mode counts ---
+
+
+def test_hk_log_coefficients_match_linear():
+    """Where the linear scale is finite, exp(log v) must equal
+    hk_coefficients to roundoff (the formula is exact bookkeeping)."""
+    from semiclassical_tpu.propagation.hk import hk_log_coefficients
+
+    prop = _hk()
+    c = prop.semiclassical_prefactor()
+    lr, li = hk_log_coefficients(prop.params, prop._bc, prop.state, c)
+    v_lin = np.asarray(prop.coefficients())
+    v_log = np.exp(np.asarray(lr) + 1j * np.asarray(li))
+    np.testing.assert_allclose(v_log, v_lin, rtol=1e-12, atol=1e-14)
+
+
+def test_hk_log_norm_equals_linear_norm():
+    from semiclassical_tpu.propagation.hk import (hk_log_coefficients,
+                                                  pairwise_norm_log)
+
+    prop = _hk()
+    v = prop.coefficients()
+    n_lin = pairwise_norm(prop.params.csott, prop.state.q, prop.state.p, v,
+                          block=128)
+    c = prop.semiclassical_prefactor()
+    log_v = hk_log_coefficients(prop.params, prop._bc, prop.state, c)
+    n_log = pairwise_norm_log(prop.params.csott, prop.state.q,
+                              prop.state.p, log_v, block=128)
+    assert abs(n_log - n_lin) < 1e-10
+    # the propagator's norm() routes through the log path
+    assert abs(prop.norm() - n_lin) < 1e-10
+
+
+def test_hk_log_norm_high_mode_count_mixed_vs_f64():
+    """60 modes (the flagship dimensionality): the normalised MC weights
+    span exp(+-O(100)) — the linear coefficients() scale is fragile there
+    (f32-stored weights can overflow to inf/NaN), while the log-space
+    norm combines ONE exponent per pair term and stays a well-defined
+    float. NOTE the VALUE at small ensembles is still estimator-variance
+    dominated (a single heavy-weight pair dominates the O(n^2) sum —
+    project numerics notes: "tiny-n norms are garbage for HK and WM
+    alike"; the f64 oracle itself returns ~1e16 here). The contract
+    gated is therefore ARITHMETIC: finite, and mixed tracks the f64
+    oracle on identical draws."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    d = 60
+    from semiclassical_tpu.potentials import MorsePotential
+    omega = rng.uniform(0.001, 0.014, size=d)
+    pot = MorsePotential.create(omega, np.full(d, 0.02),
+                                rng.uniform(-1, 1, size=d))
+    Gamma = np.diag(omega)
+
+    q0 = rng.uniform(0.1, 0.5, size=d)
+
+    def norm0(dtype, traj_dtype):
+        pp = (jax.tree.map(lambda x: x.astype(dtype), pot)
+              if dtype == jnp.float32 else pot)
+        prop = HermanKlukPropagator(Gamma, Gamma, dtype=dtype,
+                                    traj_dtype=traj_dtype)
+        prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=512, key=2,
+                                potential=pp)
+        return prop.norm()
+
+    n64 = norm0(jnp.float64, jnp.float64)
+    nmx = norm0(jnp.float32, jnp.float64)
+    assert np.isfinite(n64) and np.isfinite(nmx)
+    # estimator-variance-dominated value: gate the arithmetic agreement
+    # (one heavy pair dominates both sums identically), not |psi| ~ 1
+    assert abs(nmx - n64) / n64 < 5e-2
+
+
+def test_hk_log_norm_ring_matches_single():
+    mesh = ensemble_mesh()
+    p_mesh = _hk(mesh=mesh)
+    p_solo = _hk(mesh=None)
+    assert abs(p_mesh.norm() - p_solo.norm()) < 1e-10
