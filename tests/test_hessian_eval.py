@@ -600,3 +600,34 @@ def test_morse_taylor_comp32():
     c32, k32 = run(dtype=jnp.float32, traj_dtype="comp32")
     np.testing.assert_allclose(c32, c64, rtol=0, atol=5e-4)
     assert np.isfinite(k32).all()
+
+
+def test_wm_taylor_window_runs_and_tracks_stage():
+    """The WM scan shares rk4_step and the window branch: taylor and
+    taylor_every must run through WaltonManolopoulosPropagator and track
+    the stage mode (identical ensembles)."""
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+    from semiclassical_tpu.pytree import replace
+
+    pot = _make_potential(lam=2.0e-2)
+
+    def run(p):
+        d = p.dimensions()
+        w = np.sqrt(np.diag(np.asarray(p.K)))
+        Gamma = np.diag(w)
+        prop = WaltonManolopoulosPropagator(Gamma, Gamma, 1e4, 1e4)
+        prop.initial_conditions(np.full(d, 0.3), np.zeros(d), Gamma,
+                                ntraj=32, key=5, potential=p)
+        return prop.propagate(p, 0.5, 12, energy0_es=float(w.sum() / 2))
+
+    c_s, k_s = run(pot)
+    c_t, k_t = run(replace(pot, hessian_eval="taylor"))
+    c_w, k_w = run(replace(pot, hessian_eval="taylor", taylor_every=4))
+    assert np.isfinite(c_t).all() and np.isfinite(c_w).all()
+    np.testing.assert_allclose(c_t, c_s, rtol=0, atol=2e-3)
+    # the window regime here is deliberately coarse (window = 4 x 0.5 at
+    # omega ~ 0.3 -> window phase ~ 0.6 rad); the WM prefactor amplifies
+    # the frozen-expansion error more than HK's — production-step
+    # accuracy is gated by the GDML twins above, this pins plumbing
+    np.testing.assert_allclose(c_w, c_s, rtol=0, atol=2e-2)
+    np.testing.assert_allclose(k_w, k_s, rtol=0, atol=2e-2)
