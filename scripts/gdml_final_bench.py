@@ -46,7 +46,8 @@ def main():
     from semiclassical_tpu.io.fchk import FormattedCheckpointFile
     from semiclassical_tpu.potentials import MolecularGDMLPotential, minimize
     from semiclassical_tpu.propagation import HermanKlukPropagator
-    from semiclassical_tpu.propagation.hk import _hk_scan_jit
+    from semiclassical_tpu.propagation.hk import (_hk_scan_jit,
+                                                  _hk_scan_micro_jit)
     from semiclassical_tpu.pytree import replace
 
     t_setup = time.time()
@@ -75,16 +76,25 @@ def main():
         return props[ntraj]
 
     for spec in args.configs.split(","):
-        ntraj_s, mode, every_s = spec.split(":")
+        parts = spec.split(":")
+        ntraj_s, mode, every_s = parts[:3]
+        micro = int(parts[3]) if len(parts) > 3 else 0
         ntraj, every = int(ntraj_s), int(every_s)
         pot = replace(base_pot, hessian_eval=mode,
                       taylor_every=every if mode == "taylor" else 1)
         prop = get_prop(ntraj)
 
-        run = lambda: _hk_scan_jit(
-            prop.params, prop._bc, pot, prop.state,
-            prop.trackers["prefactorC"],
-            jnp.float64(0.0), jnp.float64(0.1), args.nt)
+        if micro and ntraj % micro == 0 and ntraj > micro:
+            k = ntraj // micro
+            run = lambda: _hk_scan_micro_jit(
+                prop.params, prop._bc, pot, prop.state,
+                prop.trackers["prefactorC"],
+                jnp.float64(0.0), jnp.float64(0.1), args.nt, k)
+        else:
+            run = lambda: _hk_scan_jit(
+                prop.params, prop._bc, pot, prop.state,
+                prop.trackers["prefactorC"],
+                jnp.float64(0.0), jnp.float64(0.1), args.nt)
 
         t0 = time.time()
         carry, (cauto, kic, en) = run()
@@ -98,7 +108,7 @@ def main():
 
         print(json.dumps({
             "bench": "gdml_hk_step", "ntraj": ntraj, "nt": args.nt,
-            "hessian_eval": mode, "taylor_every": every,
+            "hessian_eval": mode, "taylor_every": every, "micro": micro,
             "ms_per_step": round(1e3 * wall / args.nt, 2),
             "traj_steps_per_s": round(ntraj * args.nt / wall, 1),
             "compile_s": round(compile_s, 1),
