@@ -485,6 +485,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         if (micro is None and propagator_name == "WM"
                 and task["potential"]["type"] == "anharmonic AS"):
             micro = 8192
+        elif (micro is None and task["potential"]["type"] == "gdml"
+              and getattr(potential, "hessian_eval", "stage") == "taylor"):
+            # taylor-mode GDML peaks at tiny sub-batches (the (n, 51, 51)
+            # Hessian buffers are HBM-bound); in-jit micro-batching at 512
+            # beats even the standalone 512 optimum (506.6k vs 429k t-s/s
+            # at 8192 — BASELINE.md GDML table)
+            micro = 512
         if micro:
             propagator.micro_batch = int(micro)
             if repetition == (resume_rep or 0):

@@ -255,3 +255,25 @@ def wavefunction(wf: WavefunctionParams, q, p, v, x):
             + times_i(jnp.einsum("na,nxa->nx", p, dx) / hbar))
     gaussians = wf.fac * jnp.exp(expo)                       # (n, nx)
     return jnp.einsum("n,nx->x", v, gaussians)
+
+
+def wavefunction_log(wf: WavefunctionParams, q, p, log_v, x):
+    """phi(x) from log-coefficients — the range-safe grid evaluation:
+    each trajectory's log |v| joins its Gaussian exponent, and the sum
+    over trajectories is exponent-shifted, so the evaluation works at
+    mode counts where the linear coefficients over/underflow (cf.
+    wm_wavefunction). Returns (psi_shifted (nx,) complex, zmax (nx,)
+    real): true phi = psi_shifted * exp(zmax), recombined on the HOST at
+    f64 (the magnitude may sit below the device dtype's range)."""
+    log_re, log_im = log_v
+    rd = wf.G.dtype
+    cdtype = jnp.complex128 if rd == jnp.float64 else jnp.complex64
+    dx = x[None, :, :] - q[:, None, :]                       # (n, nx, d)
+    re = -0.5 * jnp.einsum("nxa,ab,nxb->nx", dx, wf.G, dx)
+    im = jnp.einsum("na,nxa->nx", p, dx) / hbar
+    Zre = (log_re.astype(rd)[:, None] + re
+           + jnp.log(jnp.abs(wf.fac)).astype(rd))
+    Zim = log_im.astype(rd)[:, None] + im
+    zmax = jnp.max(Zre, axis=0)                              # (nx,)
+    psi = jnp.sum(complex_exp(Zre - zmax[None, :], Zim, cdtype), axis=0)
+    return psi, zmax

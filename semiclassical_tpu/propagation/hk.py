@@ -1514,11 +1514,28 @@ class HermanKlukPropagator:
         return pairwise_norm_log(self.params.csott, self.state.q,
                                  self.state.p, log_v, mesh=self.mesh)
 
+    def log_coefficients(self):
+        """(log |v|, arg v) as f64 numpy arrays — exact at any mode count
+        (the linear coefficients() keeps the reference API and
+        over/underflows the complex dtype exactly where the true
+        magnitude does; cf. WaltonManolopoulosPropagator)."""
+        c = self.semiclassical_prefactor()
+        lr, li = hk_log_coefficients(self.params, self._bc, self.state, c)
+        return np.asarray(lr), np.asarray(li)
+
     def wavefunction(self, x):
-        """psi(x, t) on a spatial grid x of shape (nx, d)."""
-        v = self.coefficients()
-        return from_device(wavefunction(self.params.wf, self.state.q,
-                                        self.state.p, v, jnp.asarray(x)))
+        """psi(x, t) on a spatial grid x of shape (nx, d). Runs in log
+        space (r4): each trajectory's log |v| joins its Gaussian exponent
+        and the trajectory sum is exponent-shifted, with the shift
+        recombined at f64 on the host — valid at any mode count."""
+        from semiclassical_tpu.coherent import wavefunction_log
+
+        c = self.semiclassical_prefactor()
+        log_v = hk_log_coefficients(self.params, self._bc, self.state, c)
+        psi, zmax = wavefunction_log(self.params.wf, self.state.q,
+                                     self.state.p, log_v, jnp.asarray(x))
+        return (from_device(psi).astype(np.complex128)
+                * np.exp(np.asarray(zmax, dtype=np.float64)))
 
     def initial_positions_and_momenta(self):
         return self._bc.qi, self._bc.pi

@@ -178,3 +178,21 @@ def test_hk_log_norm_ring_matches_single():
     p_mesh = _hk(mesh=mesh)
     p_solo = _hk(mesh=None)
     assert abs(p_mesh.norm() - p_solo.norm()) < 1e-10
+
+
+def test_hk_log_wavefunction_matches_linear():
+    """The log-space grid evaluation (coherent.wavefunction_log +
+    exponent-shift host recombination) must reproduce the linear path
+    where the linear coefficients are finite."""
+    from semiclassical_tpu.coherent import wavefunction
+
+    prop = _hk(ntraj=256)
+    d = 3
+    rng = np.random.default_rng(8)
+    x = rng.normal(0.25, 0.3, size=(12, d))
+    psi_log = prop.wavefunction(x)
+    v = prop.coefficients()
+    import jax.numpy as jnp
+    psi_lin = np.asarray(wavefunction(prop.params.wf, prop.state.q,
+                                      prop.state.p, v, jnp.asarray(x)))
+    np.testing.assert_allclose(psi_log, psi_lin, rtol=1e-10, atol=1e-13)
