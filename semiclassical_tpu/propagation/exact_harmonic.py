@@ -137,14 +137,21 @@ def build_harmonic_map(potential, dt, state: TrajState) -> HarmonicMap:
     W = F2.T @ E[:n, n:]
     W = 0.5 * (W + W.T)
 
-    tdt = state.q.dtype
+    # increments and the action's QUADRATIC form ride at the algebra
+    # (monodromy) dtype — on TPU mixed mode that is f32, keeping the map
+    # off the emulated-f64 path: the increment error is eps * |omega dt
+    # z| per step (the (T - I) entries are O(omega dt) host-exact
+    # constants), and the quadratic action terms are O(omega dt z^2)
+    # corrections to the f64-exact linear + constant parts below
+    # (measured: f64 increments made the 12-dim methylium step 3.4x
+    # SLOWER than RK4; f32 increments make it faster — BASELINE.md)
     mdt = state.Mqq.dtype
     eye = np.eye(2 * d)
     return HarmonicMap(
-        dT=jnp.asarray(T - eye, dtype=tdt),
-        w=jnp.asarray(w, dtype=tdt),
+        dT=jnp.asarray(T - eye, dtype=mdt),
+        w=jnp.asarray(w, dtype=mdt),
         T_mono=jnp.asarray(T, dtype=mdt),
-        Wzz=jnp.asarray(W[:2 * d, :2 * d], dtype=jnp.float64),
+        Wzz=jnp.asarray(W[:2 * d, :2 * d], dtype=mdt),
         wz=jnp.asarray(W[:2 * d, 2 * d], dtype=jnp.float64),
         w11=jnp.asarray(W[2 * d, 2 * d], dtype=jnp.float64),
         pos0=jnp.asarray(pos0, dtype=jnp.float64),
@@ -172,11 +179,16 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
     vpot, _, _ = potential.local_expansion(q)
     mean_energy = jnp.mean(tkin + vpot.astype(tkin.dtype))
 
-    # trajectory increment z' - z = (T - I) z + w, constants exact on host
+    # trajectory increment z' - z = (T - I) z + w at the map dtype (f32
+    # in the mixed mode; the (T - I) entries are O(omega dt), so the
+    # reduced-precision product costs eps * |omega dt| |z| per step)
+    cdt = hmap.dT.dtype
+    dqc = dq.astype(cdt)
+    pc_ = p.astype(cdt)
     dTaa, dTab = hmap.dT[:d, :d], hmap.dT[:d, d:]
     dTba, dTbb = hmap.dT[d:, :d], hmap.dT[d:, d:]
-    inc_q = dq @ dTaa.T + p @ dTab.T + hmap.w[None, :d]
-    inc_p = dq @ dTba.T + p @ dTbb.T + hmap.w[None, d:]
+    inc_q = (dqc @ dTaa.T + pc_ @ dTab.T + hmap.w[None, :d]).astype(q.dtype)
+    inc_p = (dqc @ dTba.T + pc_ @ dTbb.T + hmap.w[None, d:]).astype(q.dtype)
 
     if state.compensated:
         new_q, new_qc = _comp_accumulate(q, state.qc, inc_q)
@@ -186,12 +198,14 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
         new_p = p + inc_p
         new_qc = new_pc = None
 
-    # action increment: DeltaS = 1/2 z.Wzz z + wz.z + 1/2 w11 at f64
-    z_q = dq.astype(jnp.float64)
-    z_p = p.astype(jnp.float64)
-    z = jnp.concatenate([z_q, z_p], axis=1)                  # (n, 2d)
-    ds = (0.5 * jnp.sum(z * (z @ hmap.Wzz.T), axis=1)
-          + z @ hmap.wz + 0.5 * hmap.w11)
+    # action increment: DeltaS = 1/2 z.Wzz z + wz.z + 1/2 w11. The
+    # z-dependent quadratic part is an O(omega dt z^2) correction and
+    # runs at the map dtype; the linear + constant anchors (which carry
+    # the absolute-energy scale) stay f64.
+    zc = jnp.concatenate([dqc, pc_], axis=1)                 # (n, 2d)
+    quad = 0.5 * jnp.sum(zc * (zc @ hmap.Wzz.T), axis=1)
+    z64 = jnp.concatenate([dq, p], axis=1).astype(jnp.float64)
+    ds = quad.astype(jnp.float64) + z64 @ hmap.wz + 0.5 * hmap.w11
     new_S = state.S + ds.astype(state.S.dtype)
 
     # monodromy: M' = T M, constant-left matmuls (cf. eom.rk4_step's
