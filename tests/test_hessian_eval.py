@@ -631,3 +631,41 @@ def test_wm_taylor_window_runs_and_tracks_stage():
     # accuracy is gated by the GDML twins above, this pins plumbing
     np.testing.assert_allclose(c_w, c_s, rtol=0, atol=2e-2)
     np.testing.assert_allclose(k_w, k_s, rtol=0, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_gdml_wm_taylor_close(ref_data):
+    """Coumarin sGDML through the WM propagator: hessian_eval='taylor'
+    must track the 4-stage mode on identical ensembles (the WM prefactor
+    consumes the monodromy more aggressively than HK's — the production
+    WM-GDML recipe is the reference's own gdml example shape)."""
+    from semiclassical_tpu.io import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import MolecularGDMLPotential
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+
+    model_path = (ref_data / "GDML"
+                  / "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    s1 = ref_data / "Gaussian16" / "coumarin_s1.fchk"
+    if not model_path.exists() or not s1.exists():
+        pytest.skip("coumarin fixtures not available")
+
+    model = np.load(model_path, allow_pickle=True)
+    with open(s1) as f:
+        exc = FormattedCheckpointFile(f)
+    x0, Gamma0, zpe = exc.vibrational_groundstate()
+
+    def run(hessian_eval, taylor_every=1):
+        pot = MolecularGDMLPotential.create(model, exc,
+                                            hessian_eval=hessian_eval,
+                                            taylor_every=taylor_every)
+        prop = WaltonManolopoulosPropagator(Gamma0, Gamma0, 1e4, 1e4)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0, ntraj=8,
+                                key=7, potential=pot)
+        c, k = prop.propagate(pot, 0.25, 8, energy0_es=zpe)
+        return c, k
+
+    c_stage, k_stage = run("stage")
+    c_w, k_w = run("taylor", taylor_every=4)
+    assert np.isfinite(c_w).all()
+    np.testing.assert_allclose(c_w, c_stage, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(k_w, k_stage, rtol=0, atol=5e-5)
