@@ -600,8 +600,11 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                         f"k~ic max {err_k.max():.2e}")
 
     # machine-produced per-phase wall + throughput (the scan phase of the
-    # first repetition includes the one-time XLA compile)
-    ptimer.log(num_samples * num_repetitions, nt,
+    # first repetition includes the one-time XLA compile). On a
+    # checkpoint resume only the EXECUTED repetitions accumulated wall,
+    # so only they enter the numerator
+    executed_reps = num_repetitions - (resume_rep or 0)
+    ptimer.log(num_samples * max(executed_reps, 0), nt,
                nchips=max(1, len(devices)) if mesh is not None else 1)
 
 

@@ -606,11 +606,18 @@ _pair_sum_device_jit = jax.jit(_pair_sum_device,
 
 
 def blocked_pair_sum(block_term, params, arrays, block=4096,
-                     hermitian=True):
+                     hermitian=True, max_pairs_per_dispatch=8192):
     """Host wrapper for _pair_sum_device: reshape to blocks, build the
     pair list (upper triangle when the pair matrix is Hermitian, the full
-    ordered grid otherwise), run one jitted program. Requires block | n
-    (callers fall back to a host loop otherwise)."""
+    ordered grid otherwise), run device-side. Requires block | n (callers
+    fall back to a host loop otherwise).
+
+    The pair grid is split into dispatches of at most
+    `max_pairs_per_dispatch` pairs: single XLA executions past ~60 s are
+    killed by remote-TPU tunnel watchdogs, and the pair count grows as
+    (n/block)^2 — 131k trajectories is 528 pairs (~1 s measured), 1M
+    would be ~33k pairs in one execution without the split. At most two
+    program shapes compile (full chunks + one remainder)."""
     n = arrays[0].shape[0]
     assert n % block == 0
     nb = n // block
@@ -619,12 +626,18 @@ def blocked_pair_sum(block_term, params, arrays, block=4096,
         iu, ju = np.triu_indices(nb)
     else:
         iu, ju = (g.ravel() for g in np.mgrid[0:nb, 0:nb])
-    pairs = jnp.asarray(np.stack([iu, ju], axis=1), dtype=jnp.int32)
-    return float(from_device(
-        _pair_sum_device_jit(block_term, params, blocks, pairs, hermitian)))
+    total = 0.0
+    for s in range(0, iu.shape[0], max_pairs_per_dispatch):
+        pairs = jnp.asarray(
+            np.stack([iu[s:s + max_pairs_per_dispatch],
+                      ju[s:s + max_pairs_per_dispatch]], axis=1),
+            dtype=jnp.int32)
+        total += float(from_device(_pair_sum_device_jit(
+            block_term, params, blocks, pairs, hermitian)))
+    return total
 
 
-def _pair_sum_ring_run(block_term, mesh, nb, params, *arrays):
+def _pair_sum_ring_run(block_term, mesh, nb, acc_dtype, params, *arrays):
     """Distributed O(n^2) pair reduction: a shard_map systolic ring.
 
     Each chip keeps its ensemble shard and a rotating copy; at rotation r
@@ -673,14 +686,18 @@ def _pair_sum_ring_run(block_term, mesh, nb, params, *arrays):
                 lambda a: lax.ppermute(a, "traj", perm), vis)
             return (vis, acc)
 
-        cdt = jnp.result_type(shards[-1].dtype, jnp.complex64)
+        # the accumulator dtype is the block term's OUTPUT dtype (passed
+        # in statically): deriving it from the input arrays promoted f64
+        # log-coefficients to complex128, which the TPU backend cannot
+        # hold (package numerics contract)
+        cdt = jnp.dtype(acc_dtype)
         # the accumulator must carry the `traj` varying axis from the
         # start (the loop output does, and scan/fori carries must match)
         zero = jnp.zeros((), dtype=cdt)
         try:
             zero = lax.pvary(zero, ("traj",))
         except AttributeError:
-            zero = zero + 0.0 * shards[-1].ravel()[0].astype(cdt)
+            zero = zero + (0.0 * shards[-1].ravel()[0]).astype(cdt)
         _, acc = lax.fori_loop(0, ndev, step, (shards, zero))
         return lax.psum(acc, "traj")
 
@@ -690,14 +707,43 @@ def _pair_sum_ring_run(block_term, mesh, nb, params, *arrays):
     return f(params, *arrays)
 
 
-_pair_sum_ring_jit = jax.jit(_pair_sum_ring_run, static_argnums=(0, 1, 2))
+_pair_sum_ring_jit = jax.jit(_pair_sum_ring_run,
+                             static_argnums=(0, 1, 2, 3))
+
+
+def _block_term_out_dtype(block_term, params, arrays):
+    """The block term's complex output dtype, found abstractly (no
+    device work) on zero-length blocks."""
+    zeros = tuple(jax.ShapeDtypeStruct((0,) + a.shape[1:], a.dtype)
+                  for a in arrays)
+    out = jax.eval_shape(lambda p, *bs: block_term(p, *(bs + bs)),
+                         params, *zeros)
+    return jnp.dtype(out.dtype).name
 
 
 def _pair_sum_ring(block_term, params, arrays, mesh, block):
     ndev = int(mesh.devices.size)
     n_loc = arrays[0].shape[0] // ndev
-    nb = n_loc // block if (n_loc % block == 0 and n_loc > block) else 1
-    norm2 = _pair_sum_ring_jit(block_term, mesh, nb, params, *arrays)
+    if n_loc % block == 0 and n_loc > block:
+        nb = n_loc // block
+    elif n_loc <= 2 * block:
+        nb = 1  # the whole shard is block-sized: one local pair product
+    else:
+        # `block` does not divide the shard: silently using one
+        # whole-shard block would materialise an (n_loc, n_loc)
+        # intermediate (OOM at production shard sizes) — use the largest
+        # divisor of n_loc that keeps blocks near the requested size, or
+        # refuse loudly if none exists
+        b = next((b for b in range(block, 0, -1) if n_loc % b == 0), 1)
+        if b < block // 4:
+            raise ValueError(
+                f"block={block} does not divide the per-device shard "
+                f"({n_loc}) and no usable divisor exists; choose a block "
+                "that divides ntraj / n_devices")
+        nb = n_loc // b
+    acc_dtype = _block_term_out_dtype(block_term, params, arrays)
+    norm2 = _pair_sum_ring_jit(block_term, mesh, nb, acc_dtype, params,
+                               *arrays)
     return complex(from_device(norm2)).real
 
 
@@ -901,6 +947,13 @@ def _hk_scan(params, bc, potential, state0, tracker0, t0, dt, nt,
         # taylor_every re-expansion windows: ONE order-2 PES evaluation
         # per `every` steps; the window's frozen LocalQuadratic rides the
         # scan carry (see eom.make_taylor_window)
+        if getattr(potential, "hessian_eval", "stage") != "taylor":
+            # trace-time guard (cf. rk4_step's hessian_eval check): the
+            # create() validation is bypassable via direct construction /
+            # pytree replace(), and the window semantics silently replace
+            # stage/step-parity forces with local quadratics
+            raise ValueError(
+                "taylor_every > 1 requires hessian_eval='taylor'")
         from semiclassical_tpu.propagation.eom import make_taylor_window
         carry0_fn, wstep = make_taylor_window(potential, dt, every)
 
@@ -1126,12 +1179,15 @@ class HermanKlukPropagator:
             return None
         if supports_exact_harmonic(potential):
             # constant-Hessian molecular PES: the exact affine map — no
-            # carried state, only (potential, dt, device dtypes) matter
-            key = (id(potential), float(dt), self.state.q.dtype,
-                   self.state.Mqq.dtype)
-            if self._hmap_key != key:
+            # carried state, only (potential, dt, device dtypes) matter.
+            # The potential is compared BY RETAINED IDENTITY (not id():
+            # a freed potential's address can be recycled by a new one,
+            # which would silently reuse the stale map's constants)
+            key = (float(dt), self.state.q.dtype, self.state.Mqq.dtype)
+            if self._hmap_key != key or self._hmap_pot_ref is not potential:
                 self._hmap = build_harmonic_map(potential, dt, self.state)
                 self._hmap_key = key
+                self._hmap_pot_ref = potential
             return (self._hmap, None, None)
         if (self._integ_pack is None or self._integ_carry is None
                 or self._integ_dt != float(dt)
@@ -1193,9 +1249,11 @@ class HermanKlukPropagator:
         self._integ_bc_sub = None
         self._integ_state_ref = None
         self._integ_pot_ref = None
-        # exact harmonic map cache (dtype/dt-keyed; state-independent)
+        # exact harmonic map cache (dtype/dt-keyed + retained potential
+        # identity; state-independent)
         self._hmap = None
         self._hmap_key = None
+        self._hmap_pot_ref = None
 
     # -- exact-integrator side-channel helpers --------------------------------
 

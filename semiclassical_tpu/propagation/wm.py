@@ -1210,6 +1210,9 @@ def _wm_scan(params, bc, potential, state0, trackers0, t0, dt, nt,
     every = int(getattr(potential, "taylor_every", 1) or 1)
     if every > 1 and step_fn is rk4_step:
         # taylor_every re-expansion windows — see _hk_scan
+        if getattr(potential, "hessian_eval", "stage") != "taylor":
+            raise ValueError(
+                "taylor_every > 1 requires hessian_eval='taylor'")
         from semiclassical_tpu.propagation.eom import make_taylor_window
         carry0_fn, wstep = make_taylor_window(potential, dt, every)
 

@@ -214,3 +214,41 @@ def test_cli_integrator_exact_molecular(tmp_path, monkeypatch, ref_data):
                                d_rk4["autocorrelation"], rtol=0, atol=1e-9)
     np.testing.assert_allclose(d_ex["ic_correlation"],
                                d_rk4["ic_correlation"], rtol=0, atol=1e-9)
+
+
+def test_hmap_rebuilds_for_new_potential_object():
+    """The exact-map cache must key on the RETAINED potential identity:
+    a different potential through the same propagator (same dt, same
+    dtypes) must rebuild the map, not reuse the previous constants.
+    Gated on the propagated POSITIONS (a 1.3x Hessian visibly bends every
+    trajectory; C(t) would be a weaker gate — it decays to ~0 here)."""
+    from semiclassical_tpu.pytree import replace as pt_replace
+
+    pot_a = _make_potential(d=4, seed=20)
+    pot_b = pt_replace(pot_a, hess0=1.3 * pot_a.hess0)
+    d = 4
+    Gamma = np.diag(np.sqrt(np.asarray(pot_a.mass))
+                    * np.linalg.eigvalsh(np.asarray(pot_a.hess0)).max() ** 0.5)
+    q0 = np.asarray(pot_a.pos0) + 0.05
+
+    def init(prop, pot):
+        prop.initial_conditions(q0, np.zeros(d), Gamma, ntraj=16, key=3,
+                                potential=pot)
+
+    prop = HermanKlukPropagator(Gamma, Gamma, integrator="exact")
+    init(prop, pot_a)
+    prop.propagate(pot_a, 2.0, 8, energy0_es=0.1)
+    q_a = np.asarray(prop.state.q)
+
+    # same propagator object, NEW potential object (same dt/dtypes):
+    init(prop, pot_b)
+    prop.propagate(pot_b, 2.0, 8, energy0_es=0.1)
+    q_b_cached = np.asarray(prop.state.q)
+
+    prop2 = HermanKlukPropagator(Gamma, Gamma, integrator="exact")
+    init(prop2, pot_b)
+    prop2.propagate(pot_b, 2.0, 8, energy0_es=0.1)
+    q_b_fresh = np.asarray(prop2.state.q)
+
+    np.testing.assert_allclose(q_b_cached, q_b_fresh, rtol=1e-12, atol=1e-14)
+    assert np.abs(q_b_fresh - q_a).max() > 1e-6

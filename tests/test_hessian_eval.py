@@ -669,3 +669,16 @@ def test_gdml_wm_taylor_close(ref_data):
     assert np.isfinite(c_w).all()
     np.testing.assert_allclose(c_w, c_stage, rtol=0, atol=5e-5)
     np.testing.assert_allclose(k_w, k_stage, rtol=0, atol=5e-5)
+
+
+def test_window_without_taylor_raises_at_scan():
+    """create() validates taylor_every, but direct construction /
+    pytree replace() can bypass it — the scan must refuse at trace time
+    rather than silently replace stage/step-parity forces with local
+    quadratics (same guard philosophy as rk4_step's hessian_eval check)."""
+    from semiclassical_tpu.pytree import replace
+
+    pot = _make_potential(lam=2.0e-2)
+    pot_bad = replace(pot, hessian_eval="step", taylor_every=4)
+    with pytest.raises(ValueError, match="taylor_every"):
+        _run(pot_bad, nt=4)

@@ -196,3 +196,20 @@ def test_hk_log_wavefunction_matches_linear():
     psi_lin = np.asarray(wavefunction(prop.params.wf, prop.state.q,
                                       prop.state.p, v, jnp.asarray(x)))
     np.testing.assert_allclose(psi_log, psi_lin, rtol=1e-10, atol=1e-13)
+
+
+def test_blocked_pair_sum_dispatch_chunking_matches():
+    """Splitting the pair grid across dispatches (the tunnel-watchdog
+    bound) must not change the sum."""
+    from semiclassical_tpu.propagation.hk import (_hk_norm_block_term,
+                                                  blocked_pair_sum)
+
+    prop = _hk()
+    v = prop.coefficients()
+    args = (prop.params.csott,
+            (prop.state.q, prop.state.p, v))
+    full = blocked_pair_sum(_hk_norm_block_term, args[0], args[1],
+                            block=64, max_pairs_per_dispatch=10**9)
+    split = blocked_pair_sum(_hk_norm_block_term, args[0], args[1],
+                             block=64, max_pairs_per_dispatch=7)
+    assert abs(full - split) < 1e-10 * max(1.0, abs(full))
