@@ -363,12 +363,14 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     ckpt_file = task.get("checkpoint", "")
     ckpt_every = task.get("checkpoint_every", 500)
     resume_rep = None
+    resume_steps_done = 0
     if ckpt_file and os.path.exists(ckpt_file):
         from semiclassical_tpu.checkpoint import peek_checkpoint
         meta = peek_checkpoint(ckpt_file)
         resume_rep = int(meta.get("repetition", 0))
+        resume_steps_done = int(meta.get("steps_done", 0))
         logger.info(f"found checkpoint '{ckpt_file}' at repetition "
-                    f"{resume_rep + 1}, step {int(meta['steps_done'])} — "
+                    f"{resume_rep + 1}, step {resume_steps_done} — "
                     "resuming (completed repetitions are already in "
                     f"'{filename}')")
 
@@ -461,6 +463,7 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     # scan phase of the first repetition includes the XLA compile)
     from semiclassical_tpu.profiling import PhaseTimer
     ptimer = PhaseTimer()
+    work_traj_steps = 0  # traj-steps actually propagated THIS process
 
     for repetition in range(num_repetitions):
         if resume_rep is not None and repetition < resume_rep:
@@ -599,12 +602,18 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             logger.info(f"  MC stderr: |C(t)| max {err_c.max():.2e}, "
                         f"k~ic max {err_k.max():.2e}")
 
+        # work actually propagated this process: the true (mesh-rounded)
+        # trajectory count, minus the steps a resumed checkpoint had
+        # already completed before this process started
+        steps_run = nt
+        if resume_rep is not None and repetition == resume_rep:
+            steps_run = max(nt - resume_steps_done, 0)
+        work_traj_steps += propagator.ntraj * steps_run
+
     # machine-produced per-phase wall + throughput (the scan phase of the
-    # first repetition includes the one-time XLA compile). On a
-    # checkpoint resume only the EXECUTED repetitions accumulated wall,
-    # so only they enter the numerator
-    executed_reps = num_repetitions - (resume_rep or 0)
-    ptimer.log(num_samples * max(executed_reps, 0), nt,
+    # first repetition includes the one-time XLA compile). Only work that
+    # accumulated scan wall IN THIS PROCESS enters the numerator.
+    ptimer.log(work_traj_steps, 1,
                nchips=max(1, len(devices)) if mesh is not None else 1)
 
 

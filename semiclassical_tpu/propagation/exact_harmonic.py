@@ -167,16 +167,21 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
     d = q.shape[1]
 
     # displacement from the expansion center at the trajectory precision;
-    # comp32 folds the residual into the true value
+    # comp32 folds BOTH residuals into the true values (q through the
+    # displacement, p directly — the map consumes p itself, so dropping
+    # pc would leave the compensation one-sided)
     dq = q - hmap.pos0.astype(q.dtype)[None, :]
+    pt = p
     if state.compensated:
         dq = dq + state.qc
+        pt = p + state.pc
 
     # energy guard at the step start (cheap: the PES is the potential's own
-    # quadratic expansion)
+    # quadratic expansion; evaluated at the residual-folded true values)
     inv_m = (1.0 / potential.masses()).astype(q.dtype)
-    tkin = 0.5 * jnp.sum(p * p * inv_m[None, :], axis=1)
-    vpot, _, _ = potential.local_expansion(q)
+    tkin = 0.5 * jnp.sum(pt * pt * inv_m[None, :], axis=1)
+    vpot, _, _ = potential.local_expansion(
+        q + state.qc if state.compensated else q)
     mean_energy = jnp.mean(tkin + vpot.astype(tkin.dtype))
 
     # trajectory increment z' - z = (T - I) z + w at the map dtype (f32
@@ -184,7 +189,7 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
     # reduced-precision product costs eps * |omega dt| |z| per step)
     cdt = hmap.dT.dtype
     dqc = dq.astype(cdt)
-    pc_ = p.astype(cdt)
+    pc_ = pt.astype(cdt)
     dTaa, dTab = hmap.dT[:d, :d], hmap.dT[:d, d:]
     dTba, dTbb = hmap.dT[d:, :d], hmap.dT[d:, d:]
     inc_q = (dqc @ dTaa.T + pc_ @ dTab.T + hmap.w[None, :d]).astype(q.dtype)
@@ -204,7 +209,7 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
     # the absolute-energy scale) stay f64.
     zc = jnp.concatenate([dqc, pc_], axis=1)                 # (n, 2d)
     quad = 0.5 * jnp.sum(zc * (zc @ hmap.Wzz.T), axis=1)
-    z64 = jnp.concatenate([dq, p], axis=1).astype(jnp.float64)
+    z64 = jnp.concatenate([dq, pt], axis=1).astype(jnp.float64)
     ds = quad.astype(jnp.float64) + z64 @ hmap.wz + 0.5 * hmap.w11
     new_S = state.S + ds.astype(state.S.dtype)
 

@@ -721,26 +721,30 @@ def _block_term_out_dtype(block_term, params, arrays):
     return jnp.dtype(out.dtype).name
 
 
+def _ring_block_count(n_loc, block):
+    """Blocks per shard for the systolic ring. Whole shards no larger
+    than `block` run as one block; otherwise `block` must divide the
+    shard, or the largest divisor of n_loc near the requested size is
+    used — silently falling back to one whole-shard block would
+    materialise an (n_loc, n_loc) pair intermediate (OOM at production
+    shard sizes), so refuse loudly if no usable divisor exists."""
+    if n_loc % block == 0:
+        return n_loc // block
+    if n_loc <= block:
+        return 1
+    b = next((b for b in range(block, 0, -1) if n_loc % b == 0), 1)
+    if b < block // 4:
+        raise ValueError(
+            f"block={block} does not divide the per-device shard "
+            f"({n_loc}) and no usable divisor exists; choose a block "
+            "that divides ntraj / n_devices")
+    return n_loc // b
+
+
 def _pair_sum_ring(block_term, params, arrays, mesh, block):
     ndev = int(mesh.devices.size)
     n_loc = arrays[0].shape[0] // ndev
-    if n_loc % block == 0 and n_loc > block:
-        nb = n_loc // block
-    elif n_loc <= 2 * block:
-        nb = 1  # the whole shard is block-sized: one local pair product
-    else:
-        # `block` does not divide the shard: silently using one
-        # whole-shard block would materialise an (n_loc, n_loc)
-        # intermediate (OOM at production shard sizes) — use the largest
-        # divisor of n_loc that keeps blocks near the requested size, or
-        # refuse loudly if none exists
-        b = next((b for b in range(block, 0, -1) if n_loc % b == 0), 1)
-        if b < block // 4:
-            raise ValueError(
-                f"block={block} does not divide the per-device shard "
-                f"({n_loc}) and no usable divisor exists; choose a block "
-                "that divides ntraj / n_devices")
-        nb = n_loc // b
+    nb = _ring_block_count(n_loc, block)
     acc_dtype = _block_term_out_dtype(block_term, params, arrays)
     norm2 = _pair_sum_ring_jit(block_term, mesh, nb, acc_dtype, params,
                                *arrays)

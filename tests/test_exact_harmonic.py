@@ -216,6 +216,40 @@ def test_cli_integrator_exact_molecular(tmp_path, monkeypatch, ref_data):
                                d_rk4["ic_correlation"], rtol=0, atol=1e-9)
 
 
+def test_comp32_step_folds_both_residuals():
+    """Compensated states carry the TRUE value as (value + residual) for
+    q AND p: one exact step from (v, residual) must match one step from
+    (v + residual, 0) — positions, momenta, action. A dropped p-fold
+    (regression: pc was never folded into the increment or the f64
+    action anchor) breaks this at the residual scale."""
+    pot = _make_potential(d=4, seed=30)
+    base = _make_state(pot, n=8, seed=31)
+    rng = np.random.default_rng(32)
+    qc = jnp.asarray(1e-3 * rng.standard_normal(base.q.shape))
+    pc = jnp.asarray(1e-3 * rng.standard_normal(base.p.shape))
+    zeros = jnp.zeros_like(base.q)
+
+    from semiclassical_tpu.pytree import replace as pt_replace
+    split = pt_replace(base, qc=qc, pc=pc)
+    folded = pt_replace(base, q=base.q + qc, p=base.p + pc,
+                        qc=zeros, pc=zeros)
+
+    hmap = build_harmonic_map(pot, 25.0, split)
+    s_split, e_split = harmonic_step(hmap, split, pot)
+    s_fold, e_fold = harmonic_step(hmap, folded, pot)
+
+    np.testing.assert_allclose(
+        np.asarray(s_split.q) + np.asarray(s_split.qc),
+        np.asarray(s_fold.q) + np.asarray(s_fold.qc), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_split.p) + np.asarray(s_split.pc),
+        np.asarray(s_fold.p) + np.asarray(s_fold.pc), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_split.S), np.asarray(s_fold.S),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(e_split), float(e_fold),
+                               rtol=1e-12, atol=0)
+
+
 def test_hmap_rebuilds_for_new_potential_object():
     """The exact-map cache must key on the RETAINED potential identity:
     a different potential through the same propagator (same dt, same

@@ -7,6 +7,7 @@ is the round-3 behaviour and serves as the oracle."""
 
 import numpy as np
 import jax
+import pytest
 
 from semiclassical_tpu.parallel import ensemble_mesh
 from semiclassical_tpu.potentials import MorsePotential
@@ -196,6 +197,23 @@ def test_hk_log_wavefunction_matches_linear():
     psi_lin = np.asarray(wavefunction(prop.params.wf, prop.state.q,
                                       prop.state.p, v, jnp.asarray(x)))
     np.testing.assert_allclose(psi_log, psi_lin, rtol=1e-10, atol=1e-13)
+
+
+def test_ring_block_count_selection():
+    """The ring must never fall back to one whole-shard block when the
+    shard EXCEEDS the requested block size (that materialises an
+    (n_loc, n_loc) pair intermediate): a non-dividing shard in
+    (block, 2*block] must still use the divisor search."""
+    from semiclassical_tpu.propagation.hk import _ring_block_count
+
+    assert _ring_block_count(8192, 4096) == 2     # exact multiple
+    assert _ring_block_count(4096, 4096) == 1     # exactly one block
+    assert _ring_block_count(1000, 4096) == 1     # small shard, one block
+    assert _ring_block_count(6144, 4096) == 2     # divisor 3072, NOT nb=1
+    assert _ring_block_count(40960, 4096) == 10
+    assert _ring_block_count(5000, 4096) == 2     # divisor 2500
+    with pytest.raises(ValueError, match="divide"):
+        _ring_block_count(4097, 4096)             # 17*241: no usable divisor
 
 
 def test_blocked_pair_sum_dispatch_chunking_matches():
