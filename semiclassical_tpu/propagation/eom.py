@@ -336,6 +336,23 @@ def rk4_step(state: TrajState, potential, dt):
         # 80%). Algebraically identical to the pair() chain below with
         # H1 = .. = H4 (the composition test in tests/test_hessian_eval
         # pins it); measured 4.4 -> ~1.5 ms of the 51-dim coumarin step.
+        Tw = getattr(potential, "Tmono", None)
+        if Tw is not None:
+            # taylor_every window: H (hence the degree-4 map) is frozen
+            # for the whole window — apply the precomputed (n, 2d, 2d)
+            # step map as ONE row-stacked batched matmul (same MACs as
+            # the Horner below, at twice the MXU systolic depth and a
+            # single fused product instead of 4 interleaved ones)
+            Z = jnp.concatenate(
+                [jnp.concatenate([state.Mqq, state.Mqp], axis=2),
+                 jnp.concatenate([state.Mpq, state.Mpp], axis=2)], axis=1)
+            Z = jnp.einsum("nab,nbc->nac", Tw.astype(mdt), Z)
+            new_state = TrajState(
+                q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
+                Mqq=Z[:, :d, :d], Mqp=Z[:, :d, d:],
+                Mpq=Z[:, d:, :d], Mpp=Z[:, d:, d:],
+            )
+            return new_state, mean_energy
         Mq = jnp.concatenate([state.Mqq, state.Mqp], axis=2)   # (n, d, 2d)
         Mp = jnp.concatenate([state.Mpq, state.Mpp], axis=2)
         Yq, Yp = Mq, Mp
@@ -416,6 +433,13 @@ class LocalQuadratic:
     H: jnp.ndarray       # (n, d, d) dense, or (n, d) diagonal (separable)
     mass: jnp.ndarray    # (d,)
     nac0: jnp.ndarray    # (d,)
+    # per-window monodromy step map (n, 2d, 2d): H is frozen for the
+    # whole window, so the degree-4 truncated exponential the frozen-H
+    # Horner evaluates is the SAME matrix at every step — precomputed
+    # once per window, each step becomes ONE stacked batched matmul at
+    # K = 2d (the per-step Horner is 4 matmuls at K = d: half the MXU
+    # systolic depth at d = 51). None disables the path.
+    Tmono: jnp.ndarray | None = None
     hessian_eval: str = "taylor"
 
     def dimensions(self):
@@ -465,6 +489,27 @@ def make_taylor_window(potential, dt, every):
     """
     inv_m = 1.0 / potential.masses()
 
+    def _window_mono_map(Hw, state):
+        """Degree-4 truncated exponential T (n, 2d, 2d) of the window
+        Hessian — the per-step monodromy map, computed ONCE per window
+        (Horner on the identity rows; cost = one step's Horner,
+        amortised 1/every)."""
+        mdt = state.Mqq.dtype
+        n, dd = Hw.shape[0], Hw.shape[1]
+        dts = jnp.asarray(dt).astype(mdt)
+        im_r = inv_m.astype(mdt)[None, :, None]
+        eye = jnp.eye(2 * dd, dtype=mdt)
+        eyeq = jnp.broadcast_to(eye[:dd], (n, dd, 2 * dd))
+        eyep = jnp.broadcast_to(eye[dd:], (n, dd, 2 * dd))
+        Hm = Hw.astype(mdt)
+        Yq, Yp = eyeq, eyep
+        for c in (dts / 4.0, dts / 3.0, dts / 2.0, dts):
+            LYq = Yp * im_r
+            LYp = -jnp.einsum("nab,nbc->nac", Hm, Yq)
+            Yq = eyeq + c * LYq
+            Yp = eyep + c * LYp
+        return jnp.concatenate([Yq, Yp], axis=1)
+
     def expand(state):
         q, p = state.q, state.p
         if state.compensated:
@@ -475,11 +520,19 @@ def make_taylor_window(potential, dt, every):
         v0, g0, H = potential.local_expansion(qp)
         if isinstance(H, DiagHessian):
             Hw = H.diag                         # separable: (n, d) diagonal
+            Tw = None
         else:
             Hw = jnp.broadcast_to(H.dense(),
                                   (q.shape[0],) + (q.shape[1],) * 2)
+            # dense monodromy only: the diag representation has no Horner.
+            # SEMI_WINDOW_MONO_MAP=0 falls back to the per-step Horner
+            # (ablation switch; default on)
+            import os
+            use_map = os.environ.get("SEMI_WINDOW_MONO_MAP", "1") != "0"
+            Tw = (_window_mono_map(Hw, state)
+                  if use_map and not state.diag_monodromy else None)
         return LocalQuadratic(
-            q_mid=qp, v0=v0, g0=g0, H=Hw,
+            q_mid=qp, v0=v0, g0=g0, H=Hw, Tmono=Tw,
             mass=potential.masses(),
             nac0=potential.derivative_coupling_1st(qp[:1])[0])
 

@@ -498,6 +498,13 @@ def test_gdml_window_close(ref_data):
     assert np.abs(c_w - c_t).max() > 0.0
     np.testing.assert_allclose(c_w, c_t, rtol=0, atol=2e-5)
     np.testing.assert_allclose(k_w, k_t, rtol=0, atol=2e-5)
+    # the measured frontier windows: the gap scales ~4x per doubling
+    # (2nd order in the window length — measured at 64 production steps:
+    # every=8/16/32 -> 1.2e-5/4.9e-5/1.9e-4, all far below the ~1e-3
+    # sGDML model error)
+    c16, k16 = run(hessian_eval="taylor", taylor_every=16)
+    np.testing.assert_allclose(c16, c_t, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(k16, k_t, rtol=0, atol=1e-4)
 
 
 def test_create_rejects_window_without_taylor(ref_data):
@@ -682,3 +689,29 @@ def test_window_without_taylor_raises_at_scan():
     pot_bad = replace(pot, hessian_eval="step", taylor_every=4)
     with pytest.raises(ValueError, match="taylor_every"):
         _run(pot_bad, nt=4)
+
+
+def test_window_mono_map_matches_horner(monkeypatch):
+    """The precomputed per-window monodromy step map (LocalQuadratic.Tmono,
+    ONE stacked K=2d matmul per step) evaluates the SAME degree-4
+    truncated exponential as the per-step frozen-H Horner — identical
+    windows, identical trajectories, monodromy equal to association-order
+    roundoff."""
+    from semiclassical_tpu.pytree import replace
+
+    pot = replace(_make_potential(lam=2.0e-2), hessian_eval="taylor",
+                  taylor_every=4)
+
+    monkeypatch.setenv("SEMI_WINDOW_MONO_MAP", "0")
+    s_h, c_h, k_h = _run(pot, nt=16)
+    monkeypatch.delenv("SEMI_WINDOW_MONO_MAP")
+    s_m, c_m, k_m = _run(pot, nt=16)
+
+    # trajectories never touch the map: bit-identical
+    np.testing.assert_array_equal(np.asarray(s_m.q), np.asarray(s_h.q))
+    np.testing.assert_array_equal(np.asarray(s_m.p), np.asarray(s_h.p))
+    # monodromy/observables: same polynomial, different association
+    np.testing.assert_allclose(np.asarray(s_m.Mqq), np.asarray(s_h.Mqq),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(c_m, c_h, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(k_m, k_h, rtol=0, atol=1e-10)
