@@ -453,8 +453,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     # stay seconds-per-chunk at 500 steps even at their batch ceilings,
     # and the per-chunk host round-trip stops dominating the wall time
     # (98k x 2000 steps: 90 s at chunk=100 -> 15.6 s at chunk=500); the
-    # dense/molecular paths keep 100.
-    default_chunk = (500 if task["potential"]["type"] == "anharmonic AS"
+    # dense/molecular paths keep 100, EXCEPT taylor-mode gdml (the PES
+    # cost is window-amortised: ~4-47 ms/step at 2k-32k trajectories, so
+    # 500-step chunks stay well under the watchdog and save ~20 host
+    # round-trips per 2000-step run).
+    default_chunk = (500 if (task["potential"]["type"] == "anharmonic AS"
+                             or getattr(potential, "hessian_eval", "stage")
+                             == "taylor")
                      else 100)
     scan_chunk = task.get("scan_chunk", default_chunk)
 
@@ -490,11 +495,13 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             micro = 8192
         elif (micro is None and task["potential"]["type"] == "gdml"
               and getattr(potential, "hessian_eval", "stage") == "taylor"):
-            # taylor-mode GDML peaks at tiny sub-batches (the (n, 51, 51)
-            # Hessian buffers are HBM-bound); in-jit micro-batching at 512
-            # beats even the standalone 512 optimum (506.6k vs 429k t-s/s
-            # at 8192 — BASELINE.md GDML table)
-            micro = 512
+            # taylor-mode GDML peaks at small sub-batches (the (n, 51, 51)
+            # Hessian/monodromy buffers are HBM-bound). With the
+            # per-window monodromy map the measured optimum moved from
+            # 512 to 1024 at every<=8 (589k vs 566k t-s/s at 8192) and
+            # sits within ~4% of the 256 optimum at every>=16
+            # (BASELINE.md GDML table)
+            micro = 1024
         if micro:
             propagator.micro_batch = int(micro)
             if repetition == (resume_rep or 0):
