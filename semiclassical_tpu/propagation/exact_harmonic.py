@@ -213,18 +213,18 @@ def harmonic_step(hmap: HarmonicMap, state: TrajState, potential):
     ds = quad.astype(jnp.float64) + z64 @ hmap.wz + 0.5 * hmap.w11
     new_S = state.S + ds.astype(state.S.dtype)
 
-    # monodromy: M' = T M, constant-left matmuls (cf. eom.rk4_step's
-    # ConstHessian degree-4 branch — here T is the full exponential)
-    Tm = hmap.T_mono
-    Taa, Tab = Tm[:d, :d], Tm[:d, d:]
-    Tba, Tbb = Tm[d:, :d], Tm[d:, d:]
+    # monodromy: M' = T M as ONE constant-left product on the fully
+    # row/column-stacked (n, 2d, 2d) blocks — same MACs as the 8
+    # per-block products but K = 2d (twice the MXU systolic depth at
+    # molecular d ~ 50) and a single fused matmul
     mdt = state.Mqq.dtype
-    lmul = lambda A, M: jnp.einsum("ab,nbc->nac", A.astype(mdt), M)
+    Z = jnp.concatenate(
+        [jnp.concatenate([state.Mqq, state.Mqp], axis=2),
+         jnp.concatenate([state.Mpq, state.Mpp], axis=2)], axis=1)
+    Z = jnp.einsum("ab,nbc->nac", hmap.T_mono.astype(mdt), Z)
     new_state = TrajState(
         q=new_q, p=new_p, S=new_S, qc=new_qc, pc=new_pc,
-        Mqq=lmul(Taa, state.Mqq) + lmul(Tab, state.Mpq),
-        Mpq=lmul(Tba, state.Mqq) + lmul(Tbb, state.Mpq),
-        Mqp=lmul(Taa, state.Mqp) + lmul(Tab, state.Mpp),
-        Mpp=lmul(Tba, state.Mqp) + lmul(Tbb, state.Mpp),
+        Mqq=Z[:, :d, :d], Mqp=Z[:, :d, d:],
+        Mpq=Z[:, d:, :d], Mpp=Z[:, d:, d:],
     )
     return new_state, mean_energy
