@@ -53,3 +53,22 @@ def use_cpu_machine_cache(base: str = "/root/.jax_cache_cpu") -> str:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     return d
+
+
+def disable_persistent_cache() -> None:
+    """Turn the persistent compilation cache off entirely.
+
+    Long-lived CPU processes (the full test suite: hundreds of compiled
+    programs in one process) crashed REPRODUCIBLY inside the cache
+    machinery at the same test — once SIGSEGV in
+    ``get_executable_and_time`` (executable deserialize), once SIGABRT
+    in ``put_executable_and_time`` (executable serialize) after the
+    machine-keyed directory quarantined the first crash's entry. The
+    same test passes standalone, so the trigger is accumulated process
+    state, not the program itself; with the cache disabled the whole
+    serialize/deserialize surface is gone. CPU compiles are local and
+    cheap relative to the suite's physics gates; TPU processes (remote
+    30-300 s compiles) keep the persistent cache."""
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)

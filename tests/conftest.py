@@ -41,13 +41,14 @@ else:
     # JAX_PLATFORMS=cpu as an env var is overridden by this image's
     # sitecustomize; the config update is not.
     jax.config.update("jax_platforms", "cpu")
-    # machine-keyed cache: XLA:CPU AOT entries cached by a different
-    # host machine type SIGSEGV on load (see semiclassical_tpu.hostcache)
+    # NO persistent compilation cache on the CPU tier: the suite crashed
+    # reproducibly inside the cache's executable (de)serialization (see
+    # semiclassical_tpu.hostcache.disable_persistent_cache)
     import sys as _sys
     import pathlib as _pathlib
     _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
-    from semiclassical_tpu.hostcache import use_cpu_machine_cache
-    use_cpu_machine_cache()
+    from semiclassical_tpu.hostcache import disable_persistent_cache
+    disable_persistent_cache()
 jax.config.update("jax_enable_x64", True)
 
 import pathlib  # noqa: E402
