@@ -1,30 +1,261 @@
 # coding: utf-8
-"""Benchmark: HK trajectory-step throughput on the 60-mode anharmonic AS model.
+"""Driver benchmark: three production throughput metrics in ONE process.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints one JSON line per metric, each shaped
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+in the order: WM flagship, GDML frontier, HK flagship (the headline metric
+prints LAST so a last-line parser records it).
 
-The metric is trajectory-steps/sec/chip — one unit = advancing one
-trajectory (with its 60x60 monodromy blocks) through one RK4 step *and*
-accumulating both observables C(t), k~ic(t) for that step, i.e. exactly the
-per-step work of the reference's dynamics loop (reference cli.py:401-436).
+1. `wm_as60`  — Walton-Manolopoulos propagator, 60-mode anharmonic AS,
+   comp32 trajectories, device-side micro-batching (the production WM
+   configuration, BASELINE.md round-4 table).
+2. `gdml_coumarin` — sGDML-driven HK dynamics on the coumarin model
+   (51 cartesians), mixed precision (f64 E/grad + f32 Hessian),
+   `hessian_eval="taylor"` windows with the per-window monodromy map —
+   the round-4 frontier configuration. Skipped (with a JSON notice) when
+   neither the reference checkout nor the vendored fixture tree provides
+   the trained model.
+3. `hk_as60`  — Herman-Kluk propagator, 60-mode anharmonic AS, comp32,
+   at the 1M-trajectory single-chip optimum. The headline metric: one
+   unit = advancing one trajectory (with its monodromy) through one RK4
+   step AND accumulating both observables C(t), k~ic(t) — exactly the
+   per-step work of the reference's dynamics loop (reference
+   cli.py:401-436).
 
-Baseline: the torch reference implementation run on this machine's CPU at
-the identical configuration (d=60 Morse chi=0.02, HK, observables every
-step) measures 213.4 trajectory-steps/sec (measured 2026-08-16 with
-/tmp-style driver: ntraj=2000, nt=10, torch 2.x CPU with symeig/solve
-shims; see BASELINE.md). The reference has no GPU available here and
-publishes no numbers of its own (BASELINE.md).
+Baselines:
+* torch reference on this machine's 1-core CPU at the identical 60-mode
+  config: 213.4 traj-steps/s (BASELINE.md; the reference publishes no
+  numbers of its own). Used for hk_as60 and — conservatively, the
+  reference's WM step is strictly MORE work than its HK step — for
+  wm_as60.
+* the reference's only published perf claim: ~10,000 molecules/s for
+  batched sGDML E+grad+Hessian "on a GPU" (reference
+  gdml_predictor.py:51-54). At 4 PES evaluations per dynamics step that
+  bounds its dynamics loop at ~2,500 traj-steps/s; used for
+  gdml_coumarin.
 """
 
+import gc
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
-TORCH_CPU_BASELINE = 213.4  # traj-steps/sec, reference implementation, CPU
+TORCH_CPU_BASELINE = 213.4    # traj-steps/s, torch reference, 1-core CPU
+GDML_GPU_BASELINE = 2500.0    # traj-steps/s bound implied by the
+                              # reference's 10k molecules/s GPU headline
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _gdml_fixture_dir():
+    """Directory holding GDML/ and Gaussian16/ fixtures, or None."""
+    cands = [os.environ.get("SEMI_REF_DATA"),
+             "/root/reference/tests/DATA",
+             os.path.join(REPO, "tests", "data", "refdata")]
+    model_rel = os.path.join(
+        "GDML", "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz")
+    for c in cands:
+        if c and os.path.exists(os.path.join(c, model_rel)):
+            return c
+    return None
+
+
+def _emit(metric, value, unit, baseline, config, timer):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+        "config": config,
+        "phases": {k: round(v, 3) for k, v in timer.summary().items()},
+    }), flush=True)
+
+
+def bench_wm(jax, jnp, on_tpu):
+    from semiclassical_tpu.potentials import MorsePotential
+    from semiclassical_tpu.profiling import PhaseTimer
+    from semiclassical_tpu.propagation import WaltonManolopoulosPropagator
+
+    timer = PhaseTimer()
+    ntraj = int(os.environ.get("BENCH_WM_NTRAJ",
+                               "524288" if on_tpu else "2048"))
+    nt = int(os.environ.get("BENCH_WM_NT", "500" if on_tpu else "50"))
+    micro = 8192 if on_tpu and ntraj > 8192 else None
+
+    with timer.phase("sample"):
+        rng = np.random.default_rng(42)
+        d = 60
+        omega = rng.uniform(200.0, 3000.0, size=d) / 219474.63
+        S = rng.uniform(0.01, 0.3, size=d)
+        nac = rng.uniform(-1.0, 1.0, size=d)
+        chi = np.full(d, 0.02)
+        if on_tpu:
+            # algebra-dtype PES pack (the CLI does the same): the Morse
+            # transcendentals must run native f32, not emulated f64
+            pot = MorsePotential.create(omega, chi, nac, dtype=jnp.float32)
+            prop = WaltonManolopoulosPropagator(
+                np.diag(omega), np.diag(omega), 1e4, 1e4,
+                dtype=jnp.float32, traj_dtype="comp32")
+        else:
+            pot = MorsePotential.create(omega, chi, nac)
+            prop = WaltonManolopoulosPropagator(
+                np.diag(omega), np.diag(omega), 1e4, 1e4)
+        dQ = np.sqrt(2.0 * S / omega)
+        prop.initial_conditions(dQ, np.zeros(d), np.diag(omega),
+                                ntraj=ntraj, key=0, potential=pot)
+    en0 = float(np.sum(0.5 * omega))
+    dt = 0.25
+
+    import copy
+    snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
+    with timer.phase("compile"):
+        prop.propagate(pot, dt, nt, energy0_es=en0, check_energy=False,
+                       micro_batch=micro)
+    prop.state, prop.trackers, prop.t = snapshot
+
+    with timer.phase("scan"):
+        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
+                                    check_energy=False, micro_batch=micro)
+    with timer.phase("reduce"):
+        assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+    value = timer.throughput(ntraj, nt, 1)
+    _emit("wm_as60_traj_steps_per_sec_per_chip", value, "traj-steps/s/chip",
+          TORCH_CPU_BASELINE, {
+              "ntraj": ntraj, "nt": nt, "dim": 60,
+              "dtype": "comp32" if on_tpu else "float64",
+              "micro_batch": micro,
+              "device": str(jax.devices()[0]),
+              "wall_s": round(timer.phases["scan"], 3),
+              "baseline": "torch reference HK step rate on this CPU "
+                          "(conservative: the reference WM step is heavier)",
+          }, timer)
+
+
+def bench_gdml(jax, jnp, on_tpu):
+    data = _gdml_fixture_dir()
+    if data is None:
+        print(json.dumps({"metric": "gdml_coumarin_traj_steps_per_sec_per_chip",
+                          "skipped": "no sGDML fixture available"}),
+              flush=True)
+        return
+
+    from semiclassical_tpu.io.fchk import FormattedCheckpointFile
+    from semiclassical_tpu.potentials import (MolecularGDMLPotential,
+                                              minimize)
+    from semiclassical_tpu.profiling import PhaseTimer
+    from semiclassical_tpu.propagation import HermanKlukPropagator
+    from semiclassical_tpu.pytree import replace
+
+    timer = PhaseTimer()
+    # round-4 frontier: taylor_every=32 windows + per-window monodromy map,
+    # micro-batch 256 (BASELINE.md GDML table)
+    ntraj = int(os.environ.get("BENCH_GDML_NTRAJ",
+                               "32768" if on_tpu else "256"))
+    nt = int(os.environ.get("BENCH_GDML_NT", "100" if on_tpu else "8"))
+    every = 32
+    micro = 256 if ntraj > 256 else None
+
+    with timer.phase("sample"):
+        model = np.load(os.path.join(
+            data, "GDML",
+            "coumarin_forces_au-wB97XD_def2SVP-train200-sym1.npz"),
+            allow_pickle=True)
+        with open(os.path.join(data, "Gaussian16", "coumarin_s1.fchk")) as f:
+            exc = FormattedCheckpointFile(f)
+        pot = MolecularGDMLPotential.create(
+            model, exc, hess_dtype=jnp.float32, hessian_eval="taylor")
+        pot = replace(pot, taylor_every=every)
+        x0, Gamma0, zpe = exc.vibrational_groundstate()
+        pot = minimize(pot, jnp.asarray(x0))
+        prop = HermanKlukPropagator(Gamma0, Gamma0, dtype=jnp.float32,
+                                    traj_dtype=jnp.float64)
+        prop.initial_conditions(x0, np.zeros_like(x0), Gamma0,
+                                ntraj=ntraj, key=0, potential=pot)
+    dt = 0.1
+
+    import copy
+    snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
+    with timer.phase("compile"):
+        prop.propagate(pot, dt, nt, energy0_es=0.0, check_energy=False,
+                       micro_batch=micro)
+    prop.state, prop.trackers, prop.t = snapshot
+
+    with timer.phase("scan"):
+        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=0.0,
+                                    check_energy=False, micro_batch=micro)
+    with timer.phase("reduce"):
+        assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+    value = timer.throughput(ntraj, nt, 1)
+    _emit("gdml_coumarin_traj_steps_per_sec_per_chip", value,
+          "traj-steps/s/chip", GDML_GPU_BASELINE, {
+              "ntraj": ntraj, "nt": nt, "n_cartesian": 51,
+              "hessian_eval": "taylor", "taylor_every": every,
+              "micro_batch": micro, "hess_dtype": "float32",
+              "device": str(jax.devices()[0]),
+              "wall_s": round(timer.phases["scan"], 3),
+              "fixtures": data,
+              "baseline": "reference's published ~10k molecules/s GPU "
+                          "headline / 4 PES evals per step",
+          }, timer)
+
+
+def bench_hk(jax, jnp, on_tpu):
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import _as60_setup
+    from semiclassical_tpu.profiling import PhaseTimer
+
+    timer = PhaseTimer()
+    # "comp32" = compensated-f32 trajectories (Neumaier residuals) — the
+    # production TPU mode for HK on model potentials: tracks the mixed
+    # mode (f64 trajectories) to 5e-7 over the full 2000-step horizon at
+    # ~2x the speed (tests/test_comp32.py, BASELINE.md). BENCH_DTYPE
+    # overrides ("mixed" = the f64-trajectory ablation).
+    dtype_name = os.environ.get("BENCH_DTYPE",
+                                "comp32" if on_tpu else "float64")
+    # 1,048,576 trajectories is the measured single-chip throughput optimum
+    # (2M exceeds the 16G HBM); nt=500 in ONE ~7.5 s scan stays under the
+    # ~60 s tunnel watchdog while amortizing the ~45 ms host round-trips
+    ntraj = int(os.environ.get("BENCH_NTRAJ",
+                               "1048576" if on_tpu else "2048"))
+    nt = int(os.environ.get("BENCH_NT", "500" if on_tpu else "100"))
+
+    with timer.phase("sample"):
+        if dtype_name == "mixed":
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                    traj_dtype=jnp.float64)
+        elif dtype_name == "comp32":
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
+                                    traj_dtype="comp32")
+        else:
+            dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+            prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
+    en0 = 0.0
+    dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode
+
+    import copy
+    snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
+    with timer.phase("compile"):
+        prop.propagate(pot, dt, nt, energy0_es=en0, check_energy=False)
+    prop.state, prop.trackers, prop.t = snapshot
+
+    with timer.phase("scan"):
+        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
+                                    check_energy=False)
+    with timer.phase("reduce"):
+        assert np.isfinite(cauto).all() and np.isfinite(kic).all()
+
+    value = timer.throughput(ntraj, nt, 1)
+    _emit("hk_as60_traj_steps_per_sec_per_chip", value, "traj-steps/s/chip",
+          TORCH_CPU_BASELINE, {
+              "ntraj": ntraj, "nt": nt, "dim": 60, "dtype": dtype_name,
+              "device": str(jax.devices()[0]),
+              "wall_s": round(timer.phases["scan"], 3),
+              "compile_s": round(timer.phases["compile"], 1),
+          }, timer)
 
 
 def main():
@@ -38,82 +269,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    # complex128 is not supported on TPU backends (the prefactor
-    # determinants are complex) -> default to float32/complex64 on TPU,
-    # float64 elsewhere; override with BENCH_DTYPE.
     on_tpu = jax.devices()[0].platform != "cpu"
-    # "comp32" = compensated-f32 trajectories (Neumaier residuals) — the
-    # production TPU mode for HK on model potentials: tracks the mixed
-    # mode (f64 trajectories) to 5e-7 over the full 2000-step horizon at
-    # ~2x the speed (tests/test_comp32.py, BASELINE.md). "mixed" remains
-    # available via BENCH_DTYPE for the f64-trajectory ablation.
-    dtype_name = os.environ.get("BENCH_DTYPE",
-                                "comp32" if on_tpu else "float64")
-    # 1,048,576 trajectories is the measured single-chip throughput optimum
-    # in the comp32 mode (all-f32 state; 2M exceeds the 16G HBM by 9G)
-    ntraj = int(os.environ.get("BENCH_NTRAJ",
-                               "1048576" if on_tpu else "2048"))
-    # 500 steps in ONE scan: a single ~7.5 s XLA execution (safely under
-    # the ~60 s tunnel watchdog) that amortizes the ~45 ms-per-fetch
-    # host round-trips of the axon backend — nt=100 leaves ~1.3 ms/step
-    # (~9%) of tunnel overhead in the measurement
-    nt = int(os.environ.get("BENCH_NT", "500" if on_tpu else "100"))
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __graft_entry__ import _as60_setup
-    from semiclassical_tpu.profiling import PhaseTimer
-
-    # per-phase wall-clock accounting (SURVEY §5 tracing/profiling): the
-    # phases block of the emitted JSON is machine-produced by PhaseTimer,
-    # and the headline metric comes from its scan phase
-    timer = PhaseTimer()
-
-    with timer.phase("sample"):
-        if dtype_name == "mixed":
-            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
-                                    traj_dtype=jnp.float64)
-        elif dtype_name == "comp32":
-            prop, pot = _as60_setup(ntraj=ntraj, dtype=jnp.float32,
-                                    traj_dtype="comp32")
+    only = os.environ.get("BENCH_ONLY", "")
+    benches = [("wm", bench_wm), ("gdml", bench_gdml), ("hk", bench_hk)]
+    for name, fn in benches:
+        if only and name != only:
+            continue
+        if name == "hk" or only:
+            fn(jax, jnp, on_tpu)     # headline: fail loudly
         else:
-            dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
-            prop, pot = _as60_setup(ntraj=ntraj, dtype=dtype)
-    en0 = 0.0
-    dt = 0.25  # a.u.; stable for the stiffest 3000 cm^-1 mode (dt*w ~ 0.003)
-
-    # warmup + compile with the SAME scan length (nt is a static argument —
-    # warming up with a different nt would leave the real compile inside the
-    # measured window)
-    import copy
-    snapshot = (prop.state, copy.copy(prop.trackers), prop.t)
-    with timer.phase("compile"):
-        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
-                                    check_energy=False)
-    prop.state, prop.trackers, prop.t = snapshot
-
-    with timer.phase("scan"):
-        cauto, kic = prop.propagate(pot, dt, nt, energy0_es=en0,
-                                    check_energy=False)
-
-    with timer.phase("reduce"):
-        assert np.isfinite(cauto).all() and np.isfinite(kic).all()
-
-    nchips = 1  # single-chip benchmark
-    value = timer.throughput(ntraj, nt, nchips)
-    result = {
-        "metric": "hk_as60_traj_steps_per_sec_per_chip",
-        "value": round(value, 1),
-        "unit": "traj-steps/s/chip",
-        "vs_baseline": round(value / TORCH_CPU_BASELINE, 2),
-        "config": {
-            "ntraj": ntraj, "nt": nt, "dim": 60, "dtype": dtype_name,
-            "device": str(jax.devices()[0]),
-            "wall_s": round(timer.phases["scan"], 3),
-            "compile_s": round(timer.phases["compile"], 1),
-        },
-        "phases": {k: round(v, 3) for k, v in timer.summary().items()},
-    }
-    print(json.dumps(result))
+            try:
+                fn(jax, jnp, on_tpu)
+            except Exception as exc:  # keep the headline metric alive
+                print(json.dumps({"metric": f"{name}_bench_error",
+                                  "error": repr(exc)}), flush=True)
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -104,8 +104,14 @@ def fourier_stderr(times, stderr, lineshape):
     # same grid contract as _fourier_transform: equidistant, starting at 0
     # (the variance bookkeeping below mirrors its symmetric extension, and
     # assumes the lineshape is even — true for all built-in lineshapes)
-    assert times.min() == 0.0, "time grid must start at t=0"
     dt = times[1] - times[0]
+    # tolerate float fuzz on the origin (a resumed/concatenated grid may
+    # carry accumulated error)
+    if not abs(times[0]) < 1e-9 * max(abs(dt), 1e-300):
+        raise ValueError(
+            f"time grid must start at t=0 (got times[0]={times[0]!r}); "
+            "fourier_stderr's symmetric-extension bookkeeping assumes the "
+            "grid of _fourier_transform")
     t_max = times.max()
     window = lineshape(times) * np.cos(0.5 * np.pi * times / t_max) ** 2
     w2s2 = (window * stderr) ** 2

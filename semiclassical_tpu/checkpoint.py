@@ -165,7 +165,8 @@ class CheckpointedRun:
 
     def __init__(self, filename, propagator, potential, dt, nt,
                  energy0_es=0.0, segment=500, chunk=100, repetition=0,
-                 progress=None, error_bars=False):
+                 progress=None, error_bars=False, norm_every=0,
+                 norm_callback=None):
         self.filename = filename
         self.propagator = propagator
         self.potential = potential
@@ -187,6 +188,13 @@ class CheckpointedRun:
         # arrays (each step's stderr is produced by the segment that
         # computed it — nothing to merge across segments)
         self.error_bars = error_bars
+        # norm monitoring (the convergence diagnostic of reference
+        # cli.py:418-429) composes with checkpointing: segments are split
+        # at multiples of `norm_every` and `norm_callback(step, norm)` is
+        # called there (and at step 0 on a fresh run). A resumed run picks
+        # the monitoring back up at the next boundary.
+        self.norm_every = int(norm_every)
+        self.norm_callback = norm_callback
 
     def run(self):
         nt = self.nt
@@ -224,6 +232,14 @@ class CheckpointedRun:
             err_k[:done] = partial["kic_err"][:done]
         while done < nt:
             seg = min(self.segment, nt - done)
+            if self.norm_every > 0:
+                if done % self.norm_every == 0:
+                    norm = self.propagator.norm()
+                    if self.norm_callback is not None:
+                        self.norm_callback(done, norm)
+                # stop the segment at the next monitoring boundary
+                seg = min(seg,
+                          self.norm_every - done % self.norm_every)
             out = self.propagator.propagate(
                 self.potential, self.dt, seg, energy0_es=self.en0,
                 chunk=self.chunk, error_bars=error_bars)

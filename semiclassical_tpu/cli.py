@@ -63,6 +63,30 @@ def main(argv=None):
              "default — complex128 is unsupported on TPU), comp32 "
              "(compensated-f32 trajectories: near-mixed accuracy at "
              "native-f32 speed), f32 (fastest, reduced accuracy)")
+    # Multi-host scale-out (SURVEY §2.2 P2/P5): each process runs
+    # independent ensemble batches and merges them through the locked
+    # npz accumulation protocol (`results.overwrite: false`) on the
+    # shared filesystem; random streams differ per process by key
+    # folding. `--coordinator` additionally initialises jax.distributed
+    # for multi-host TPU slices (one process per host; collectives then
+    # span the pod for any future cross-host reductions). Equivalent
+    # envs: SEMI_COORDINATOR, SEMI_NUM_PROCESSES, SEMI_PROCESS_ID.
+    parser_dynamics.add_argument(
+        "--coordinator", type=str,
+        default=os.environ.get("SEMI_COORDINATOR", ""),
+        metavar="host:port",
+        help="jax.distributed coordinator address for multi-host runs "
+             "(process 0's host); requires --num-processes/--process-id "
+             "or their SEMI_* envs")
+    parser_dynamics.add_argument(
+        "--num-processes", type=int,
+        default=int(os.environ.get("SEMI_NUM_PROCESSES", "0")),
+        help="total number of cooperating processes (with --coordinator)")
+    parser_dynamics.add_argument(
+        "--process-id", type=int,
+        default=int(os.environ.get("SEMI_PROCESS_ID", "-1")),
+        help="rank of this process (with --coordinator; also folded into "
+             "the sampling key so per-process ensembles are independent)")
 
     parser_rates = subparsers.add_parser(
         "rates",
@@ -102,6 +126,19 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.command == "dynamics":
+        if args.coordinator:
+            # multi-host slice: must run before the backend is touched
+            import jax as _jaxd
+            assert args.num_processes > 0 and args.process_id >= 0, (
+                "--coordinator requires --num-processes and --process-id "
+                "(or SEMI_NUM_PROCESSES / SEMI_PROCESS_ID)")
+            _jaxd.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+            logger.info(f"jax.distributed initialised: process "
+                        f"{args.process_id}/{args.num_processes} via "
+                        f"{args.coordinator}")
         # persistent XLA compile cache: remote/tunneled TPU compiles cost
         # 30-300 s and re-run on EVERY invocation without it — this is the
         # difference between an 8 s and a 4 min production run. Users can
@@ -280,6 +317,30 @@ def _build_potential(task):
     return potential, q0, p0, Gamma_0, en_zpt, adiabatic_gap, atomic_numbers
 
 
+def _multiprocess_rank(jax):
+    """(is_multiprocess, rank) of this process in a cooperating
+    accumulation run.
+
+    Two ways to cooperate: a jax.distributed slice (``--coordinator``,
+    multi-host TPU pods — rank = jax.process_index()), or the
+    coordinator-less shared-filesystem mode where independent CPU/TPU
+    processes simply share the results npz (rank = SEMI_PROCESS_ID).
+    Either way each rank contributes independent ensemble batches through
+    the locked accumulate protocol (io/results.py) — the TPU-native
+    equivalent of the reference's sequential cross-invocation
+    accumulation (reference cli.py:344-364, README.rst:111-115).
+    """
+    try:
+        if jax.process_count() > 1:
+            return True, int(jax.process_index())
+    except Exception:
+        pass
+    env = os.environ.get("SEMI_PROCESS_ID")
+    if env is not None:
+        return True, int(env)
+    return False, 0
+
+
 def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     """Run one `dynamics` task (reference cli.py:171-476).
 
@@ -350,7 +411,19 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
 
     filename = task["results"].get("correlations", "correlations.npz")
     overwrite = task["results"].get("overwrite", True)
-    if not overwrite and os.path.exists(filename):
+    # multi-process accumulation mode (SURVEY §2.2 P2): cooperating ranks
+    # merge independent batches into the same npz through the file lock;
+    # the rank is folded into the sampling key below, so a shared
+    # manual_seed still yields disjoint random streams per process
+    multiproc, rank = _multiprocess_rank(jax)
+    if multiproc and overwrite:
+        # a rank that resets the shared accumulator mid-run would silently
+        # drop every other rank's batches — accumulate instead (delete the
+        # stale file before launching the ranks)
+        logger.warning("multi-process run: results.overwrite forced to "
+                       "false (delete the old npz before launching)")
+        overwrite = False
+    if not overwrite and os.path.exists(filename) and not multiproc:
         assert task.get("manual_seed", None) is None, (
             "Multiple runs with the same sequence of random numbers make no "
             "sense! Do not use `manual_seed` and `overwrite=False` at the "
@@ -385,6 +458,11 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     else:
         root_key = jax.random.key(
             int(np.random.SeedSequence().entropy % (2**63)))
+    if multiproc:
+        # disjoint per-rank streams even under a shared manual_seed
+        root_key = jax.random.fold_in(root_key, rank)
+        logger.info(f"multi-process accumulation: rank {rank} "
+                    f"(sampling key folded)")
     rep_keys = jax.random.split(root_key, num_repetitions)
 
     if precision is None:
@@ -444,8 +522,18 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
     # per-step Monte-Carlo standard errors (two extra fused reductions per
     # step in the scan; npz keys autocorrelation_stderr/ic_correlation_stderr)
     error_bars = bool(task.get("error_bars", False))
-    assert not (ckpt_file and calc_norm_every > 0), (
-        "'checkpoint' and 'calc_norm_every' cannot be combined")
+    # variance-reduced initial-condition sampling (BEYOND-reference;
+    # sampling._standard_normals). Measured on the 5-mode AS oracle
+    # (tests/test_sampling_vr.py): "sobol" (scrambled QMC, best at
+    # power-of-two batch sizes) cuts the realization variance ~250x on
+    # C(t) and ~30x on k~ic; "antithetic" +-pairs ~9x on C(t) but
+    # slightly WORSE on k~ic (its estimator is predominantly even in the
+    # displacements) — use sobol unless reproducing pseudo-random runs.
+    # Converged values are unchanged (both draw the same Gaussian).
+    sampling_method = task.get("sampling", "pseudo")
+    if sampling_method != "pseudo":
+        logger.info(f"  sampling                                  : "
+                    f"{sampling_method}")
 
     # scan segmentation: each chunk is one uninterrupted XLA execution
     # (remote-TPU watchdogs kill runs past ~60 s). The separable paths
@@ -511,7 +599,8 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
         with ptimer.phase("sample"):
             propagator.initial_conditions(q0, p0, Gamma_0, ntraj=num_samples,
                                           key=rep_keys[repetition],
-                                          potential=potential, mesh=mesh)
+                                          potential=potential, mesh=mesh,
+                                          sampling_method=sampling_method)
 
         _export_trajectories(task.get("export_initial", ""), atomic_numbers,
                              propagator, append=(repetition > 0))
@@ -523,7 +612,29 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
 
         err_c = err_k = None
         try:
-            if calc_norm_every > 0:
+            if ckpt_file:
+                from semiclassical_tpu.checkpoint import CheckpointedRun
+
+                def _norm_log(step, norm):
+                    logger.info(
+                        f" time/fs= "
+                        f"{times[step] * units.autime_to_fs:.4f}  "
+                        f"norm= {norm:9.6f}")
+
+                run = CheckpointedRun(
+                    ckpt_file, propagator, potential, dt=dt, nt=nt,
+                    energy0_es=en_zpt, segment=ckpt_every,
+                    chunk=scan_chunk,
+                    repetition=repetition, progress=_progress,
+                    error_bars=error_bars,
+                    # norm monitoring composes with checkpointing: the
+                    # segments split at the monitoring boundaries
+                    norm_every=calc_norm_every, norm_callback=_norm_log)
+                # err_c/err_k come back None when error_bars is off or the
+                # resumed checkpoint predates the request (drop-keys contract)
+                with ptimer.phase("scan"):
+                    cauto, kic, err_c, err_k = run.run()
+            elif calc_norm_every > 0:
                 # segmented propagation with norm monitoring in between —
                 # the convergence diagnostic of reference cli.py:418-429
                 cauto = np.zeros(nt, dtype=complex)
@@ -550,18 +661,6 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                     cauto[done:done + seg] = c_seg
                     kic[done:done + seg] = k_seg
                     done += seg
-            elif ckpt_file:
-                from semiclassical_tpu.checkpoint import CheckpointedRun
-                run = CheckpointedRun(
-                    ckpt_file, propagator, potential, dt=dt, nt=nt,
-                    energy0_es=en_zpt, segment=ckpt_every,
-                    chunk=scan_chunk,
-                    repetition=repetition, progress=_progress,
-                    error_bars=error_bars)
-                # err_c/err_k come back None when error_bars is off or the
-                # resumed checkpoint predates the request (drop-keys contract)
-                with ptimer.phase("scan"):
-                    cauto, kic, err_c, err_k = run.run()
             else:
                 with ptimer.phase("scan"):
                     out = propagator.propagate(

@@ -59,6 +59,7 @@ _DYNAMICS_SCHEMA = {
     "checkpoint": str,            # mid-batch checkpoint file ("" = off)
     "checkpoint_every": int,      # steps between checkpoint snapshots
     "error_bars": bool,           # per-step MC standard errors in the npz
+    "sampling": str,              # "pseudo" | "antithetic" | "sobol"
     "export_initial": str,
     "export_final": str,
 }

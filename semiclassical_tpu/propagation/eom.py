@@ -43,8 +43,16 @@ propagators.py:296-398 (EquationsOfMotion). Differences by design:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Ablation switch for the per-window monodromy step map (default on). Read
+# ONCE at import: expand() runs at trace time under jit, and the jit cache
+# keys only on shapes/statics — a mid-process env toggle would silently keep
+# the previously traced branch structure.
+_WINDOW_MONO_MAP = os.environ.get("SEMI_WINDOW_MONO_MAP", "1") != "0"
 
 from semiclassical_tpu.potentials.base import (ConstHessian, DenseHessian,
                                                DiagHessian)
@@ -527,12 +535,10 @@ def make_taylor_window(potential, dt, every):
             Hw = jnp.broadcast_to(H.dense(),
                                   (q.shape[0],) + (q.shape[1],) * 2)
             # dense monodromy only: the diag representation has no Horner.
-            # SEMI_WINDOW_MONO_MAP=0 falls back to the per-step Horner
-            # (ablation switch; default on)
-            import os
-            use_map = os.environ.get("SEMI_WINDOW_MONO_MAP", "1") != "0"
+            # SEMI_WINDOW_MONO_MAP=0 (read at import) falls back to the
+            # per-step Horner (ablation switch; default on)
             Tw = (_window_mono_map(Hw, state)
-                  if use_map and not state.diag_monodromy else None)
+                  if _WINDOW_MONO_MAP and not state.diag_monodromy else None)
         return LocalQuadratic(
             q_mid=qp, v0=v0, g0=g0, H=Hw, Tmono=Tw,
             mass=potential.masses(),

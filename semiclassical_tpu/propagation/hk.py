@@ -519,6 +519,21 @@ def _m2_factored(x_qp):
     return mx, jnp.sum(ya * ya + yb * yb)
 
 
+def _m2_contrib(x_qp, with_m2):
+    """Factored second moment of the per-sample contributions.
+
+    `with_m2` is the static error-bars mode: True treats every trajectory
+    as an independent sample; "pairs" (antithetic sampling) folds each
+    interleaved +-pair into ONE sample first — the members are
+    anticorrelated by construction, so the i.i.d. formula over individual
+    trajectories would overstate the error and hide the variance
+    reduction. Requires an even batch length (guaranteed by
+    initial_conditions for antithetic ensembles)."""
+    if with_m2 == "pairs":
+        x_qp = x_qp.reshape(-1, 2).sum(axis=1)
+    return _m2_factored(x_qp)
+
+
 def _m2_combine(a, b):
     """Combine two factored second moments over DISJOINT trajectory sets
     (the exact-integrator side-channel): rescale both to the common
@@ -562,7 +577,8 @@ def hk_observables(params: HKParams, bc: BatchConstants, state: TrajState,
     kic_qp = (1.0 / hbar**2) * nacQ * bc.nacq * cauto_qp
     kic = jnp.sum(kic_qp)
     if with_m2:
-        return cauto, kic, _m2_factored(cauto_qp), _m2_factored(kic_qp)
+        return (cauto, kic, _m2_contrib(cauto_qp, with_m2),
+                _m2_contrib(kic_qp, with_m2))
     return cauto, kic
 
 
@@ -1000,15 +1016,28 @@ _hk_scan_jit = jax.jit(_hk_scan, static_argnames=("nt", "with_m2"))
 
 def _split_traj_tree(tree, n, k):
     """Reshape every per-trajectory leaf (leading axis n) into (k, n//k, ...)
-    for lax.map; batch-wide leaves (scalars, parameter matrices) are tiled
-    to k copies so every mapped leaf carries the map axis."""
+    for lax.map; scalar batch-wide leaves are tiled to k copies so every
+    mapped leaf carries the map axis.
+
+    Every array leaf of the trees this sees (TrajState, BatchConstants,
+    SignTracker) is per-trajectory by construction, so a non-scalar leaf
+    whose leading axis is NOT n is an error — classifying by
+    ``shape[0] == n`` alone would silently split a batch-wide constant
+    whose leading dim coincidentally equals the trajectory count
+    (e.g. a (d, ...) matrix when ntraj == d)."""
     m = n // k
 
     def f(leaf):
         leaf = jnp.asarray(leaf)
-        if leaf.ndim >= 1 and leaf.shape[0] == n:
-            return leaf.reshape((k, m) + leaf.shape[1:])
-        return jnp.broadcast_to(leaf[None], (k,) + leaf.shape)
+        if leaf.ndim == 0:
+            return jnp.broadcast_to(leaf[None], (k,))
+        if leaf.shape[0] != n:
+            raise ValueError(
+                f"micro-batch split saw a non-scalar leaf of shape "
+                f"{leaf.shape} whose leading axis != ntraj={n}; only "
+                f"per-trajectory leaves and scalars are supported — tile "
+                f"batch-wide constants explicitly before _split_traj_tree")
+        return leaf.reshape((k, m) + leaf.shape[1:])
 
     return jax.tree.map(f, tree)
 
@@ -1051,6 +1080,11 @@ def _micro_scan(scan_fn, params, bc, potential, state0, trackers0, t0, dt,
     gated against the monolithic scan in tests/test_micro_batch.py.
     """
     n = state0.q.shape[0]
+    if with_m2 == "pairs" and (n // k) % 2:
+        raise ValueError(
+            f"antithetic error bars need an even micro-batch size, got "
+            f"{n // k} (= {n} trajectories / {k} sub-batches) — interleaved "
+            "+-pairs must not straddle a sub-batch boundary")
     sub = _split_traj_tree((state0, bc, trackers0), n, k)
 
     def one(args):
@@ -1340,7 +1374,8 @@ class HermanKlukPropagator:
     # -- setup ---------------------------------------------------------------
 
     def initial_conditions(self, q0, p0, Gamma_0, ntraj=5000, key=None,
-                           potential=None, mesh=None):
+                           potential=None, mesh=None,
+                           sampling_method="pseudo"):
         """Sample initial phase-space points and initialise the state.
 
         Parameters
@@ -1354,6 +1389,12 @@ class HermanKlukPropagator:
         mesh : optional jax.sharding.Mesh with a `traj` axis; the ensemble is
             sharded over it and the parameter packs replicated, making the
             scan SPMD across chips with psum'd observable reductions
+        sampling_method : "pseudo" | "antithetic" | "sobol"
+            variance-reduction mode of the initial-condition draw (see
+            sampling._standard_normals). "antithetic" interleaves +-pairs
+            in adjacent rows; the `error_bars` stderr machinery then
+            treats each pair as ONE statistical sample (the members are
+            anticorrelated by construction).
         """
         if key is None:
             key = int(np.random.SeedSequence().entropy % (2**63))
@@ -1375,9 +1416,14 @@ class HermanKlukPropagator:
             from semiclassical_tpu.parallel import replicate
             from semiclassical_tpu.parallel.mesh import pad_to_multiple
             ntraj = pad_to_multiple(ntraj, mesh.devices.size)
+            if sampling_method == "antithetic":
+                # interleaved +-pairs must not straddle shard boundaries
+                ntraj = pad_to_multiple(ntraj, 2 * mesh.devices.size)
             self.params = replicate(self.params, mesh)
 
-        qi, pi, prob = sample_initial_conditions(sampling, key, ntraj)
+        self.sampling_method = sampling_method
+        qi, pi, prob = sample_initial_conditions(sampling, key, ntraj,
+                                                 method=sampling_method)
         if mesh is not None:
             from semiclassical_tpu.parallel import shard_ensemble
             qi, pi, prob = shard_ensemble((qi, pi, prob), mesh)
@@ -1473,12 +1519,27 @@ class HermanKlukPropagator:
             segments = [chunk] * (nt // chunk)
             if nt % chunk:
                 segments.append(nt % chunk)
+        # error-bars mode: antithetic ensembles fold each +-pair into one
+        # statistical sample (see _m2_contrib). The exact-integrator
+        # side-channel splits trajectories across two masked pipelines,
+        # where a pair could straddle the split — fall back to the
+        # (conservative) i.i.d. formula there.
+        m2_mode = False
+        if error_bars:
+            antith = getattr(self, "sampling_method", "pseudo") == "antithetic"
+            if antith and self.integrator == "exact":
+                logger.warning(
+                    "error_bars + antithetic sampling + integrator='exact': "
+                    "per-trajectory (conservative) stderr formula used — "
+                    "the side-channel split breaks pair bookkeeping")
+                antith = False
+            m2_mode = "pairs" if antith else True
         cauto_parts, kic_parts, energy_parts = [], [], []
         m2c_parts, m2k_parts = [], []
         done = 0
         for seg in segments:
             carry, outs = self._scan(potential, dt, seg,
-                                     with_m2=error_bars)
+                                     with_m2=m2_mode)
             if error_bars:
                 cauto, kic, (mxc, ssqc), (mxk, ssqk), energies = outs
                 # factored (mx, ssq) second moments: all squaring happens
@@ -1508,6 +1569,8 @@ class HermanKlukPropagator:
         scale = self._bc.weight_scale
         if error_bars:
             n = self.state.q.shape[0]
+            if m2_mode == "pairs":
+                n = n // 2          # one sample per antithetic pair
 
             def _stderr(parts, total_unscaled):
                 # sigma = scale * mx * sqrt(ssq - (|sum|/mx)^2 / n): the

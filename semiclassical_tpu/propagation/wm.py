@@ -49,6 +49,7 @@ from semiclassical_tpu.propagation.hk import (
     HKParams,
     HermanKlukPropagator,
     _build_hk_params,
+    _m2_contrib,
     _m2_factored,
     _obs_combine,
     check_energy_conservation,
@@ -819,7 +820,8 @@ def wm_scan_observables(params: WMParams, bc: WMBatchConstants,
     kic_qp = (1.0 / hbar**2) * sd.kfac * cauto_qp
     if with_m2:
         return (jnp.sum(cauto_qp), jnp.sum(kic_qp),
-                _m2_factored(cauto_qp), _m2_factored(kic_qp))
+                _m2_contrib(cauto_qp, with_m2),
+                _m2_contrib(kic_qp, with_m2))
     return jnp.sum(cauto_qp), jnp.sum(kic_qp)
 
 

@@ -103,7 +103,58 @@ class SamplingParams:
         )
 
 
-def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
+def _standard_normals(params: SamplingParams, key, ntraj: int, method: str):
+    """(ntraj, 2 rank) standard-normal draws for the sampling transform.
+
+    method:
+    * "pseudo"     — i.i.d. jax.random stream (the reference's scheme,
+                     propagators.py:537-555, torch.randn there).
+    * "antithetic" — ntraj/2 i.i.d. draws plus their negations,
+                     INTERLEAVED so each +-pair occupies adjacent rows
+                     (pairs then stay together under any even-sized
+                     contiguous split: ensemble sharding, micro-batching,
+                     scan sub-batches). The Gaussian density is even, so
+                     the estimator stays unbiased while every odd-in-x
+                     error component cancels exactly within each pair.
+    * "sobol"      — scrambled Sobol' quasi-Monte-Carlo points through the
+                     inverse normal CDF (host-side scipy.stats.qmc; the
+                     scramble seed derives from `key`, so independent keys
+                     give independent randomisations and the estimator is
+                     unbiased). Best-balanced at power-of-two ntraj.
+    """
+    shape = (ntraj, 2 * params.rank)
+    dtype = params.iLz.dtype
+    if method == "pseudo":
+        return jax.random.normal(key, shape, dtype=dtype)
+    if method == "antithetic":
+        if ntraj % 2:
+            raise ValueError(f"antithetic sampling needs an even number of "
+                             f"trajectories, got {ntraj}")
+        half = jax.random.normal(key, (ntraj // 2, 2 * params.rank),
+                                 dtype=dtype)
+        return jnp.stack([half, -half], axis=1).reshape(shape)
+    if method == "sobol":
+        from scipy.special import ndtri
+        from scipy.stats import qmc
+        seed = int(jax.random.randint(key, (), 0, np.int32(2**31 - 1)))
+        sampler = qmc.Sobol(d=2 * params.rank, scramble=True, seed=seed)
+        m = ntraj.bit_length() - 1
+        if ntraj == 1 << m:
+            u = sampler.random_base2(m)
+        else:
+            logger.warning(f"sobol sampling with non-power-of-two "
+                           f"ntraj={ntraj}: balance properties degrade")
+            u = sampler.random(ntraj)
+        # the scrambled points are in [0, 1); clip away an exact 0 before
+        # the inverse CDF (ndtri(0) = -inf)
+        u = np.clip(u, 1e-16, 1.0 - 1e-16)
+        return jnp.asarray(ndtri(u), dtype=dtype)
+    raise ValueError(f"unknown sampling method {method!r} "
+                     "(expected 'pseudo', 'antithetic' or 'sobol')")
+
+
+def sample_initial_conditions(params: SamplingParams, key, ntraj: int,
+                              method: str = "pseudo"):
     """Draw `ntraj` initial phase-space points and their sampling densities.
 
     Returns
@@ -111,6 +162,13 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
     q : (ntraj, d) initial positions
     p : (ntraj, d) initial momenta
     log_prob : (ntraj,) f64  log of the sampling density log P(qi, pi)
+
+    `method` selects the underlying standard-normal stream (see
+    `_standard_normals`): plain pseudo-random, antithetic +-pairs, or
+    scrambled-Sobol QMC — the two variance-reduction modes attack the
+    Monte-Carlo error of the observable estimators directly at unchanged
+    cost per trajectory; the density formula below is identical for all
+    three (the antithetic/QMC points are valid draws of the same Gaussian).
 
     The density keeps the reference's 1/(2 pi)^dim convention (full dim, not
     rank) because the same factor appears in the phase-space volume element
@@ -123,8 +181,7 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int):
     O(100) in every precision.
     """
     d = params.dim
-    x = jax.random.normal(key, (ntraj, 2 * params.rank),
-                          dtype=params.iLz.dtype)
+    x = _standard_normals(params, key, ntraj, method)
     z = params.z0[None, :] + x @ params.iLz                 # (n, 2 d)
     q, p = z[:, :d], z[:, d:]
     x64 = x.astype(jnp.float64)

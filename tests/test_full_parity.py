@@ -69,8 +69,10 @@ def test_methylium_rate_parity_3pct_full_scale(example_dir, monkeypatch):
            / abs(ref["ic_rate"][imax]))
 
     # committed per-round artifact (VERDICT r3 missing #3): the 1%-parity
-    # claim stays continuously verifiable — every run of this gate
-    # refreshes tests/data/full_parity_result.json
+    # claim stays continuously verifiable. By default the artifact goes to
+    # the test's tmp dir (running the slow tier must not dirty the working
+    # tree); set SEMI_REFRESH_PARITY_ARTIFACT=1 to refresh the committed
+    # copy at tests/data/full_parity_result.json
     import datetime
 
     import jax
@@ -85,7 +87,11 @@ def test_methylium_rate_parity_3pct_full_scale(example_dir, monkeypatch):
         "device": str(jax.devices()[0]),
         "date": datetime.date.today().isoformat(),
     }
-    out = pathlib.Path(__file__).parent / "data" / "full_parity_result.json"
+    if os.environ.get("SEMI_REFRESH_PARITY_ARTIFACT") == "1":
+        out = (pathlib.Path(__file__).parent / "data"
+               / "full_parity_result.json")
+    else:
+        out = example_dir / "full_parity_result.json"
     out.write_text(json.dumps(artifact, indent=1) + "\n")
 
     # the reference's own gate strength (3% of the rate maximum)
