@@ -190,9 +190,11 @@ class CheckpointedRun:
         self.error_bars = error_bars
         # norm monitoring (the convergence diagnostic of reference
         # cli.py:418-429) composes with checkpointing: segments are split
-        # at multiples of `norm_every` and `norm_callback(step, norm)` is
-        # called there (and at step 0 on a fresh run). A resumed run picks
-        # the monitoring back up at the next boundary.
+        # at multiples of `norm_every` and `norm_callback(step)` is
+        # called there (and at step 0 on a fresh run) — the callback
+        # computes/logs whatever norm flavour it wants (exact or
+        # subsampled) from the propagator it closes over. A resumed run
+        # picks the monitoring back up at the next boundary.
         self.norm_every = int(norm_every)
         self.norm_callback = norm_callback
 
@@ -233,10 +235,9 @@ class CheckpointedRun:
         while done < nt:
             seg = min(self.segment, nt - done)
             if self.norm_every > 0:
-                if done % self.norm_every == 0:
-                    norm = self.propagator.norm()
-                    if self.norm_callback is not None:
-                        self.norm_callback(done, norm)
+                if done % self.norm_every == 0 and \
+                        self.norm_callback is not None:
+                    self.norm_callback(done)
                 # stop the segment at the next monitoring boundary
                 seg = min(seg,
                           self.norm_every - done % self.norm_every)

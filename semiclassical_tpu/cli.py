@@ -257,7 +257,8 @@ def _build_potential(task):
             model_pot, nacs_fchk,
             hess_dtype=p.get("hess_dtype") or None,
             hessian_eval=p.get("hessian_eval", "stage"),
-            taylor_every=p.get("taylor_every", 1))
+            taylor_every=p.get("taylor_every", 1),
+            eg_mode=p.get("eg_mode", "f64"))
         logger.info("  hessian_eval                              : "
                     f"{potential.hessian_eval}"
                     + (f" (re-expansion every {potential.taylor_every} steps)"
@@ -610,16 +611,27 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
             logger.info(f" time/fs= {t_fs:9.4f}  step {done}/{total}  "
                         f"|C(t)|= {np.abs(cauto_seg[-1]):.6f}")
 
+        # norm readout flavour: exact O(n^2), or the subsampled unbiased
+        # estimate with its Monte-Carlo error bar (task keyword
+        # `norm_samples` — the variance-characterized diagnostic for
+        # high-dimensional ensembles where the exact norm is impractical)
+        norm_samples = int(task.get("norm_samples", 0))
+
+        def _norm_log(step):
+            t_fs = times[step] * units.autime_to_fs
+            if norm_samples > 0:
+                nrm, err = propagator.norm(sample_pairs=norm_samples,
+                                           key=repetition)
+                logger.info(f" time/fs= {t_fs:.4f}  "
+                            f"norm= {nrm:9.6f} +- {err:.6f}")
+            else:
+                logger.info(f" time/fs= {t_fs:.4f}  "
+                            f"norm= {propagator.norm():9.6f}")
+
         err_c = err_k = None
         try:
             if ckpt_file:
                 from semiclassical_tpu.checkpoint import CheckpointedRun
-
-                def _norm_log(step, norm):
-                    logger.info(
-                        f" time/fs= "
-                        f"{times[step] * units.autime_to_fs:.4f}  "
-                        f"norm= {norm:9.6f}")
 
                 run = CheckpointedRun(
                     ckpt_file, propagator, potential, dt=dt, nt=nt,
@@ -644,10 +656,7 @@ def run_semiclassical_dynamics(task, num_devices=0, precision=None):
                 done = 0
                 while done < nt:
                     seg = min(calc_norm_every, nt - done)
-                    norm = propagator.norm()
-                    logger.info(
-                        f" time/fs= {times[done] * units.autime_to_fs:.4f}  "
-                        f"norm= {norm:9.6f}")
+                    _norm_log(done)
                     with ptimer.phase("scan"):
                         out = propagator.propagate(
                             potential, dt, seg, energy0_es=en_zpt,

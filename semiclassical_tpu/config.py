@@ -27,7 +27,8 @@ class ConfigurationError(Exception):
 _POTENTIAL_KEYS = {
     "harmonic": {"type": str, "ground": str, "excited": str, "coupling": str},
     "gdml": {"type": str, "ground": str, "excited": str, "coupling": str,
-             "hess_dtype": str, "hessian_eval": str, "taylor_every": int},
+             "hess_dtype": str, "hessian_eval": str, "taylor_every": int,
+             "eg_mode": str},
     "anharmonic AS": {"type": str, "model_file": str,
                       "hessian_eval": str, "taylor_every": int},
 }
@@ -37,7 +38,7 @@ _POTENTIAL_KEYS = {
 # are type-checked when present but never demanded.
 _POTENTIAL_OPTIONAL = {
     "harmonic": set(),
-    "gdml": {"hess_dtype", "hessian_eval", "taylor_every"},
+    "gdml": {"hess_dtype", "hessian_eval", "taylor_every", "eg_mode"},
     "anharmonic AS": {"hessian_eval", "taylor_every"},
 }
 
@@ -54,6 +55,7 @@ _DYNAMICS_SCHEMA = {
     "results": dict,
     "manual_seed": int,
     "calc_norm_every": int,
+    "norm_samples": int,          # >0: subsampled norm estimate +- stderr
     "scan_chunk": int,
     "micro_batch": int,           # device-side sub-batch size (0 = off)
     "checkpoint": str,            # mid-batch checkpoint file ("" = off)

@@ -29,11 +29,21 @@ from semiclassical_tpu.pytree import pytree_dataclass
 __all__ = ["GDMLParams", "gdml_forward"]
 
 
-@pytree_dataclass(meta=("n_atoms",))
+@pytree_dataclass(meta=("n_atoms", "eg_mode"))
 class GDMLParams:
     """Trained sGDML model, permutation-expanded.
 
     Shapes: M = n_train * n_perms, D = N (N - 1) / 2 descriptor entries.
+
+    `eg_mode` selects the arithmetic of the energy/gradient KRR
+    contractions (which REQUIRE f64-level accuracy — the expanded alphas
+    are ~1e11 and the M-sums cancel 1e5-1e7x, BASELINE.md):
+
+    * "f64"   — plain f64 matmuls (XLA emulates them on the TPU VPU);
+    * "ozaki" — error-free-sliced products on the native bf16 MXU
+      (ops/ozaki.py): the constant operands are sliced once here
+      (`eg_sl`), activations per call. Same ~1e-15 relative accuracy,
+      MXU rate instead of the emulated-f64 path.
     """
 
     xs_train: jnp.ndarray    # (M, D)  training descriptors (expanded)
@@ -45,10 +55,15 @@ class GDMLParams:
     sig: jnp.ndarray         # () kernel length scale
     c: jnp.ndarray           # () energy offset
     std: jnp.ndarray         # () energy scale
+    # host-presliced constant operands for eg_mode="ozaki":
+    # ((xs_train.T parts, scale), (A.T parts, scale), (A parts, scale),
+    #  (xs_train parts, scale)) — see gdml_forward
+    eg_sl: tuple | None
     n_atoms: int
+    eg_mode: str = "f64"
 
     @staticmethod
-    def from_npz(model, dtype=jnp.float64):
+    def from_npz(model, dtype=jnp.float64, eg_mode="f64"):
         """Build from a trained sGDML model mapping (as saved by sgdml.train).
 
         Expects the same fields as the reference loader
@@ -86,6 +101,20 @@ class GDMLParams:
         incidence[np.arange(desc_siz), l] = -1.0
         pair_outer = incidence[:, :, None] * incidence[:, None, :]
 
+        eg_sl = None
+        if eg_mode == "ozaki":
+            from semiclassical_tpu.ops.ozaki import TBITS, slice_f64_host
+            M, D = xs_train.shape
+            for K in (M, D):
+                assert 2 * TBITS + int(np.ceil(np.log2(K))) + 2 <= 24, (
+                    f"eg_mode='ozaki' needs contraction lengths <= 256 for "
+                    f"exact f32 in-pass accumulation (got {K}); use "
+                    "eg_mode='f64' or block the contraction")
+            eg_sl = (slice_f64_host(xs_train.T, axis=0),   # gram: (D, M)
+                     slice_f64_host(Jx_alphas.T, axis=0),  # XA:   (D, M)
+                     slice_f64_host(Jx_alphas, axis=0),    # grad: (M, D)
+                     slice_f64_host(xs_train, axis=0))     # grad: (M, D)
+
         return GDMLParams(
             xs_train=jnp.asarray(xs_train, dtype=dtype),
             Jx_alphas=jnp.asarray(Jx_alphas, dtype=dtype),
@@ -96,7 +125,9 @@ class GDMLParams:
             sig=jnp.asarray(sig, dtype=dtype),
             c=jnp.asarray(c, dtype=dtype),
             std=jnp.asarray(std, dtype=dtype),
+            eg_sl=eg_sl,
             n_atoms=n_atoms,
+            eg_mode=eg_mode,
         )
 
 
@@ -148,9 +179,29 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     # x_diffs splits into a (B, D) @ (D, M) matmul plus a constant — pure
     # MXU work with O(B M + B D) memory.
     A = params.Jx_alphas
+    # "ozaki": the four cancellation-critical KRR contractions run as
+    # error-free-sliced bf16 MXU passes (~1e-15 relative, ops/ozaki.py)
+    # instead of VPU-emulated f64 matmuls; everything elementwise stays
+    # f64. Only meaningful for an f64 parameter pack.
+    ozaki = params.eg_mode == "ozaki" and params.eg_sl is not None \
+        and params.xs_train.dtype == jnp.float64
+    if ozaki:
+        from semiclassical_tpu.ops.ozaki import matmul_sliced, slice_f64
+        xs_parts, xs_scale = slice_f64(xs, axis=-1)
+
+        def mm_xs(const_sl):                      # xs @ const, over D
+            return matmul_sliced(xs_parts, xs_scale, *const_sl)
+
+        def mm_M(a, const_sl):                    # a (B, M) @ const, over M
+            a_parts, a_scale = slice_f64(a, axis=-1)
+            return matmul_sliced(a_parts, a_scale, *const_sl)
+
     sq_b = jnp.sum(xs * xs, axis=1)                              # (B,)
     sq_t = jnp.sum(params.xs_train * params.xs_train, axis=1)    # (M,)
-    gram = xs @ params.xs_train.T                                # (B, M)
+    if ozaki:
+        gram = mm_xs(params.eg_sl[0])                            # (B, M)
+    else:
+        gram = xs @ params.xs_train.T                            # (B, M)
     # the floor keeps x_dists > 0 when the query IS a training geometry
     # (the kernel and its weights vanish there, but 1/x_dists appears in
     # the Hessian weights and sqrt'(0) would poison autodiff); 1e-10 is
@@ -160,7 +211,10 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
         jnp.asarray(1e-20, dtype=gram.dtype)))                   # (B, M)
 
     tA = jnp.sum(params.xs_train * A, axis=1)                    # (M,) const
-    XA = xs @ A.T - tA[None, :]                                  # (B, M)
+    if ozaki:
+        XA = mm_xs(params.eg_sl[1]) - tA[None, :]                # (B, M)
+    else:
+        XA = xs @ A.T - tA[None, :]                              # (B, M)
 
     exp_fac = (1.0 / 3.0) * q**4 * jnp.exp(-q * x_dists)         # (B, M)
     mat52_base = exp_fac * (1.0 + q * x_dists) / q**2            # (B, M)
@@ -174,9 +228,14 @@ def gdml_forward(params: GDMLParams, r: jnp.ndarray, order: int = 2,
     # gradient in descriptor space: the x_diffs contraction expands into
     # a row-sum rescale of xs minus a (B, M) @ (M, D) matmul
     w = exp_fac * XA                                             # (B, M)
-    grad_x = jnp.einsum("bm,md->bd", mat52_base, A)
-    grad_x = grad_x - (jnp.sum(w, axis=1)[:, None] * xs
-                       - w @ params.xs_train)                    # (B, D)
+    if ozaki:
+        grad_x = mm_M(mat52_base, params.eg_sl[2])
+        grad_x = grad_x - (jnp.sum(w, axis=1)[:, None] * xs
+                           - mm_M(w, params.eg_sl[3]))           # (B, D)
+    else:
+        grad_x = jnp.einsum("bm,md->bd", mat52_base, A)
+        grad_x = grad_x - (jnp.sum(w, axis=1)[:, None] * xs
+                           - w @ params.xs_train)                # (B, D)
 
     xs3 = xs**3
     # cartesian gradient without materialising the Jacobian:

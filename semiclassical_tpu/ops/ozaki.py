@@ -58,31 +58,79 @@ MAXLEVEL = 9
 
 
 def _row_scale(x, axis):
-    """Power-of-two scale 2^ceil(log2 max|x|) along `axis` (1.0 for all-zero
-    rows), exactly representable at every precision."""
+    """Power-of-two scale ~2^ceil(log2 max|x|) along `axis` (1.0 for
+    all-zero rows), exactly representable at every precision.
+
+    The exponent is extracted at f32 (f64 frexp needs an s64
+    bitcast-convert that XLA's TPU X64 rewrite does not implement); the
+    f32 rounding of the max can move the scale by at most one binade in
+    either direction, which only shifts which bits land in which slice —
+    the slice mantissas stay <= 2^{t+1} (still bf16-exact, and the
+    in-pass f32 accumulation keeps >= 1 bit of headroom at the default
+    t=7, K<=256) and the reconstruction identity is unaffected. Operand
+    magnitudes must sit inside the f32 exponent range (~1e+-38) — far
+    beyond any KRR pack."""
     mx = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    _, e = jnp.frexp(mx)                      # mx = m * 2^e, m in [0.5, 1)
-    scale = jnp.ldexp(jnp.ones_like(mx), e)   # 2^ceil(log2 mx)
+    mx32 = jnp.where(mx > 0, mx, 1.0).astype(jnp.float32)
+    _, e = jnp.frexp(mx32)                    # mx32 = m * 2^e, m in [0.5, 1)
+    scale = jnp.ldexp(jnp.ones_like(mx32), e).astype(x.dtype)
     return jnp.where(mx > 0, scale, 1.0)
+
+
+def _round_to_grid_f32(z, grid_bits):
+    """Round f32 z to multiples of 2^-grid_bits — native f32 ops only.
+    Uses the round HLO, not the classic add-sub constant trick: this
+    image runs XLA with --xla_allow_excess_precision, which algebraically
+    simplifies (z + c) - c back to z."""
+    up = np.float32(2.0) ** grid_bits
+    return jnp.round(z * up) / up
 
 
 def slice_f64(x, axis, slices=SLICES, t=TBITS):
     """Split f64 `x` into bf16 slices along the contraction axis.
 
     Returns (parts, scale): parts is a length-`slices` list of bf16 arrays
-    with x = scale * sum_i parts_i exactly through slice `slices` (the
-    tail beyond t*slices bits is rounded into the last slice's residual
-    and dropped — 2^-56 relative for the defaults), scale is the f64
-    per-row power-of-two with keepdims.
+    with x = scale * sum_i parts_i through ~48 captured bits per element
+    (the hi/lo-f32 working split below), scale is the f64 per-row
+    power-of-two with keepdims.
+
+    Implementation note (TPU): a direct f64 extract loop costs ~24
+    emulated-f64 ops per element and MEASURED 0.59 ms per (2048, 136)
+    activation — as much as all the bf16 passes it feeds. Instead the
+    normalized value is split ONCE into a hi/lo f32 pair (2 emulated-f64
+    ops) and all grid extraction runs in native f32 with the add-sub
+    rounding trick; the hi stream fills the first `slices`//2 grids, the
+    f32-exact remainder plus lo fills the rest.
     """
     x = jnp.asarray(x, dtype=jnp.float64)
     scale = _row_scale(x, axis)
     y = x / scale                             # exact: power-of-two divide
+    # three-way f32 component split: 3 x 24 = 72 captured bits >= the
+    # full f64 mantissa, at 3 emulated-f64 ops per element
+    hi = y.astype(jnp.float32)                # bits 1..24 per element
+    r64 = y - hi.astype(jnp.float64)
+    mid = r64.astype(jnp.float32)             # bits 25..48
+    lo = (r64 - mid.astype(jnp.float64)).astype(jnp.float32)  # bits 49..72
+
     parts = []
+    # Each f32 component feeds the uniform-grid extraction for 3 slices,
+    # then the next component joins at the following grid. The join
+    # rounds BOTH streams to the slice grid and adds only the sub-grid
+    # residues (a plain f32 pre-add would re-round the joining
+    # component's low bits — measured 2^-44 reconstruction loss); the
+    # residue add rounds at ~2^-52 of the row scale, below the slice
+    # range. Mantissa bounds: rem after slice 3k is <= 0.5 * 2^-21k and
+    # the joining component <= 2^-24k-ish, so the summed slice stays
+    # within ~2^t (bf16-exact; joining later would break this).
+    rem = hi
     for i in range(1, slices + 1):
-        grid = np.float64(2.0) ** (t * i)
-        si = jnp.round(y * grid) / grid       # multiple of 2^-ti, |.|<=2^-t(i-1)
-        y = y - si                            # exact (aligned grids)
+        join = mid if i == 4 else (lo if i == 7 else None)
+        si = _round_to_grid_f32(rem, t * i)
+        rem = rem - si                        # exact: aligned grids
+        if join is not None:
+            sj = _round_to_grid_f32(join, t * i)
+            rem = rem + (join - sj)
+            si = si + sj                      # exact: same grid, small m
         parts.append(si.astype(jnp.bfloat16))
     return parts, scale
 

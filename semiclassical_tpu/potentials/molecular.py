@@ -125,6 +125,14 @@ class MolecularGDMLPotential:
     quadratic expansion (1/4 of the expensive f64 energy/gradient
     evaluations; trajectories acquire an O(dt^2) local-harmonic error,
     gated in tests/test_hessian_eval.py — see eom.rk4_step).
+
+    `eg_mode` ("f64" | "ozaki") selects the arithmetic of the f64
+    energy/gradient KRR contractions (gdml.GDMLParams): "ozaki" runs them
+    as error-free-sliced bf16 MXU passes at f64-level accuracy
+    (ops/ozaki.py; gated <=1e-6 Ha vs f64 in tests/test_gdml.py).
+    Measured near cost-parity with the emulated-f64 path on coumarin —
+    the eval is elementwise-transcendental-bound, BASELINE.md — so "f64"
+    stays the default; the mode matters on models with larger M, D.
     """
 
     gdml: GDMLParams
@@ -141,8 +149,8 @@ class MolecularGDMLPotential:
 
     @staticmethod
     def create(model_pot, nac_fchk, dtype=jnp.float64, hess_dtype=None,
-               hessian_eval="stage", taylor_every=1):
-        gdml = GDMLParams.from_npz(model_pot, dtype=dtype)
+               hessian_eval="stage", taylor_every=1, eg_mode="f64"):
+        gdml = GDMLParams.from_npz(model_pot, dtype=dtype, eg_mode=eg_mode)
         nac0 = nac_fchk.nonadiabatic_coupling()
         model_z = np.asarray(dict(model_pot)["z"])
         assert np.array_equal(model_z, nac_fchk.atomic_numbers()), (
@@ -208,6 +216,15 @@ def minimize(potential, r_guess, maxiter=200, rtol=1.0e-5, gtol=1.0e-7):
 
     Returns a new potential with ``origin`` set to the minimum energy.
     """
+    result_pot = potential
+    gd = getattr(potential, "gdml", None)
+    if gd is not None and getattr(gd, "eg_mode", "f64") != "f64":
+        # the optimisation needs gradients BELOW gtol=1e-7 near the
+        # minimum; the sliced-MXU arithmetic carries an absolute gradient
+        # noise floor ~1e-8 of the far-field gradient scale, which stalls
+        # the Newton loop. The one-time host loop runs on the plain f64
+        # pack; the found origin applies to the requested potential.
+        potential = replace(potential, gdml=replace(gd, eg_mode="f64"))
     potential = replace(potential, origin=jnp.zeros_like(potential.origin))
 
     @jax.jit
@@ -271,4 +288,5 @@ def minimize(potential, r_guess, maxiter=200, rtol=1.0e-5, gtol=1.0e-7):
 
     emin = float(energy_only(potential, r))
     logger.info(f"shift origin of energy axis to minimum energy = {emin} Hartree")
-    return replace(potential, origin=jnp.asarray(emin, dtype=potential.origin.dtype))
+    return replace(result_pot,
+                   origin=jnp.asarray(emin, dtype=result_pot.origin.dtype))

@@ -653,6 +653,80 @@ def blocked_pair_sum(block_term, params, arrays, block=4096,
     return total
 
 
+def _pair_terms_device(block_term, params, blocks, pairs):
+    """Per-pair real block sums Re term(i, j) (no reduction) — the
+    sampling primitive of the subsampled norm estimator."""
+    def one(pr):
+        bi = tuple(b[pr[0]] for b in blocks)
+        bj = tuple(b[pr[1]] for b in blocks)
+        return block_term(params, *(bi + bj)).real
+
+    return lax.map(one, pairs)
+
+
+_pair_terms_device_jit = jax.jit(_pair_terms_device, static_argnums=(0,))
+
+
+def subsampled_pair_sum(block_term, params, arrays, block=4096,
+                        sample_pairs=512, key=0, hermitian=True):
+    """Unbiased estimate of the O(n^2) pair sum from a random subsample
+    of off-diagonal block pairs, with a Monte-Carlo standard error.
+
+    The full norm diagnostic is variance-limited at high mode counts
+    (PARITY.md known-gaps): the ensembles where it would matter make the
+    exact O(n^2) reduction impractical, and a noisy point estimate
+    WITHOUT an error bar is uninterpretable. This estimator keeps the
+    diagonal block pairs exact (they carry the positive |v_i|^2 mass) and
+    samples `sample_pairs` of the P = nb(nb-1)/2 off-diagonal pairs
+    without replacement:
+
+        sum_est = diag + (P/m) sum_sample 2 Re t_k
+        var_est = P^2 var(2 Re t_k) / m * (1 - m/P)   (finite population)
+
+    Cost: O(nb + m) block pairs instead of O(nb^2). sample_pairs >= P
+    degenerates to the exact sum (stderr 0). Returns (sum, stderr).
+    Gated against the full f64 reduction in tests/test_norm_device.py.
+
+    hermitian=False (the WM pair exponent is not assembled symmetrically):
+    the sample is drawn from the P = nb(nb-1) ORDERED off-diagonal pairs
+    and the terms are not doubled — the estimator stays unbiased because
+    the full ordered sum is still the target.
+    """
+    n = arrays[0].shape[0]
+    assert n % block == 0, "subsampled norm needs block | n"
+    nb = n // block
+    blocks = tuple(a.reshape((nb, block) + a.shape[1:]) for a in arrays)
+
+    diag = jnp.asarray(
+        np.stack([np.arange(nb), np.arange(nb)], axis=1), dtype=jnp.int32)
+    diag_sum = float(np.sum(from_device(
+        _pair_terms_device_jit(block_term, params, blocks, diag))))
+
+    if hermitian:
+        iu, ju = np.triu_indices(nb, k=1)
+    else:
+        ii, jj = np.mgrid[0:nb, 0:nb]
+        off = ii != jj
+        iu, ju = ii[off], jj[off]
+    P = iu.shape[0]
+    if P == 0:
+        return diag_sum, 0.0
+    m = min(int(sample_pairs), P)
+    rng = np.random.default_rng(key)
+    sel = rng.choice(P, size=m, replace=False)
+    pairs = jnp.asarray(np.stack([iu[sel], ju[sel]], axis=1),
+                        dtype=jnp.int32)
+    terms = (2.0 if hermitian else 1.0) * np.asarray(from_device(
+        _pair_terms_device_jit(block_term, params, blocks, pairs)),
+        dtype=np.float64)
+    est = P * float(np.mean(terms))
+    if m > 1 and m < P:
+        var = P * P * float(np.var(terms, ddof=1)) / m * (1.0 - m / P)
+    else:
+        var = 0.0
+    return diag_sum + est, float(np.sqrt(var))
+
+
 def _pair_sum_ring_run(block_term, mesh, nb, acc_dtype, params, *arrays):
     """Distributed O(n^2) pair reduction: a shard_map systolic ring.
 
@@ -817,13 +891,38 @@ def _hk_norm_log_block_term(overlap_params, qi, pi, lri, lii, qj, pj, lij_r,
 _hk_norm_log_block_jit = jax.jit(_hk_norm_log_block_term)
 
 
-def pairwise_norm_log(overlap_params, q, p, log_v, block=4096, mesh=None):
+def pairwise_norm_log(overlap_params, q, p, log_v, block=4096, mesh=None,
+                      sample_pairs=None, key=0):
     """|psi| from log-coefficients — the range-safe pairwise norm (the
     linear `pairwise_norm` is reference-equivalent but its coefficients
     overflow/underflow the complex dtype at high mode counts). Same three
-    execution routes as pairwise_norm."""
+    execution routes as pairwise_norm.
+
+    With `sample_pairs` (single-device route only): the subsampled
+    variance-characterized estimate — returns (norm, stderr) from
+    `subsampled_pair_sum` instead of a bare float. The stderr is
+    propagated through the square root (sigma_norm = sigma_n2 / (2 norm));
+    a norm^2 estimate within noise of zero returns (0.0, sqrt(sigma_n2)).
+    """
     lr, li = log_v
     arrays = (q, p, lr, li)
+
+    if sample_pairs is not None:
+        assert mesh is None, (
+            "subsampled norm: single-device route only (the mesh ring is "
+            "already O(n^2 / ndev) — run it, or fetch the ensemble)")
+        n = q.shape[0]
+        b = block if n % block == 0 else next(
+            bb for bb in range(min(block, n), 0, -1) if n % bb == 0)
+        norm2, err2 = subsampled_pair_sum(
+            _hk_norm_log_block_term, overlap_params, arrays, block=b,
+            sample_pairs=sample_pairs, key=key)
+        if norm2 <= 0.0:
+            # within noise of zero: report the norm^2 stderr itself as
+            # the (conservative) uncertainty scale
+            return 0.0, float(err2)
+        norm = float(np.sqrt(norm2))
+        return norm, err2 / (2.0 * norm)
 
     if mesh is not None:
         norm2 = _pair_sum_ring(_hk_norm_log_block_term, overlap_params,
@@ -1627,17 +1726,24 @@ class HermanKlukPropagator:
                             self.semiclassical_prefactor())
         return v * jnp.asarray(self._bc.weight_scale, dtype=real_dtype(v.dtype))
 
-    def norm(self):
+    def norm(self, sample_pairs=None, key=0):
         """|psi| of the frozen-Gaussian wavefunction (O(n^2), diagnostic).
         Single device: one jitted block-pair program; under a mesh: a
         shard_map systolic ring over ICI (SURVEY P4). Runs in log space
         (hk_log_coefficients) so the diagnostic stays finite at high mode
         counts, where the linear coefficients over/underflow the complex
-        dtype (r4; same treatment as wm_norm)."""
+        dtype (r4; same treatment as wm_norm).
+
+        `sample_pairs` (opt-in, single-device): subsampled unbiased
+        estimate over that many random off-diagonal block pairs — returns
+        (norm, stderr) in O(n) block pairs instead of O(n^2/block^2); at
+        high mode counts the exact diagnostic is variance-limited anyway
+        (PARITY.md), so the error bar is the honest readout."""
         c = self.semiclassical_prefactor()
         log_v = hk_log_coefficients(self.params, self._bc, self.state, c)
         return pairwise_norm_log(self.params.csott, self.state.q,
-                                 self.state.p, log_v, mesh=self.mesh)
+                                 self.state.p, log_v, mesh=self.mesh,
+                                 sample_pairs=sample_pairs, key=key)
 
     def log_coefficients(self):
         """(log |v|, arg v) as f64 numpy arrays — exact at any mode count

@@ -1088,7 +1088,8 @@ _wm_norm_block_jit = jax.jit(_wm_norm_block_term)
 
 
 def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
-            derived: WMDerived, log_v, block=4096, mesh=None):
+            derived: WMDerived, log_v, block=4096, mesh=None,
+            sample_pairs=None, key=0):
     """|psi| of the WM wavefunction — O(n^2) with per-pair r x r inverses
     (reference propagators.py:1484-1575). Opt-in diagnostic.
 
@@ -1124,6 +1125,21 @@ def wm_norm(params: WMParams, bc: WMBatchConstants, state: TrajState,
     pack = (U, params.m_scale.astype(rd), params.m_log_det)
     arrays = (Q, dvec, CQQ, lr, li)
     n = Q.shape[0]
+
+    if sample_pairs is not None:
+        # subsampled variance-characterized estimate (hk.py docstring);
+        # the WM grid is ORDERED (non-symmetric assembly)
+        from semiclassical_tpu.propagation.hk import subsampled_pair_sum
+        assert mesh is None, "subsampled norm: single-device route only"
+        b = block if n % block == 0 else next(
+            bb for bb in range(min(block, n), 0, -1) if n % bb == 0)
+        norm2, err2 = subsampled_pair_sum(
+            _wm_norm_block_term, pack, arrays, block=b,
+            sample_pairs=sample_pairs, key=key, hermitian=False)
+        if norm2 <= 0.0:
+            return 0.0, float(err2)
+        norm = float(np.sqrt(norm2))
+        return norm, err2 / (2.0 * norm)
 
     if mesh is not None:
         norm2 = _pair_sum_ring(_wm_norm_block_term, pack, arrays, mesh,
@@ -1446,7 +1462,7 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
         return (from_device(psi).astype(np.complex128)
                 * np.exp(np.asarray(zmax, dtype=np.float64)))
 
-    def norm(self):
+    def norm(self, sample_pairs=None, key=0):
         log_v, derived = self._log_coefficients_and_derived()
         return wm_norm(self.params, self._bc, self.state, derived, log_v,
-                       mesh=self.mesh)
+                       mesh=self.mesh, sample_pairs=sample_pairs, key=key)

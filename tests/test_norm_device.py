@@ -231,3 +231,58 @@ def test_blocked_pair_sum_dispatch_chunking_matches():
     split = blocked_pair_sum(_hk_norm_block_term, args[0], args[1],
                              block=64, max_pairs_per_dispatch=7)
     assert abs(full - split) < 1e-10 * max(1.0, abs(full))
+
+
+# ---------------------------------------------------------------------------
+# subsampled variance-characterized norm (VERDICT r4 next #8)
+# ---------------------------------------------------------------------------
+
+def test_hk_subsampled_norm_exhaustive_equals_exact():
+    """sample_pairs >= P degenerates to the exact sum with stderr 0."""
+    prop = _hk(ntraj=512)
+    exact = prop.norm()
+    est, err = prop.norm(sample_pairs=10**6, key=0)
+    # the subsampled route picks its own block size; values agree to
+    # reduction-association roundoff
+    assert abs(est - exact) < 1e-9 * max(abs(exact), 1.0)
+    assert err == 0.0
+
+
+def test_hk_subsampled_norm_within_error_bar():
+    """Unbiasedness + honest stderr: across independent subsample keys the
+    estimates scatter around the exact norm consistently with the
+    reported error bars."""
+    from semiclassical_tpu.propagation.hk import (hk_log_coefficients,
+                                                  pairwise_norm_log)
+
+    prop = _hk(ntraj=2048)
+    exact = prop.norm()
+    c = prop.semiclassical_prefactor()
+    log_v = hk_log_coefficients(prop.params, prop._bc, prop.state, c)
+
+    pulls = []
+    for key in range(8):
+        est, err = pairwise_norm_log(
+            prop.params.csott, prop.state.q, prop.state.p, log_v,
+            block=128, sample_pairs=40, key=key)
+        assert err > 0.0
+        pulls.append((est - exact) / err)
+    pulls = np.asarray(pulls)
+    # 8 standardized pulls: |mean| < 2 and at least ~half inside 2 sigma
+    assert abs(pulls.mean()) < 2.0, pulls
+    assert (np.abs(pulls) < 3.0).mean() >= 0.75, pulls
+
+
+def test_wm_subsampled_norm():
+    prop = _wm(ntraj=512)
+    exact = prop.norm()
+    est_full, err_full = prop.norm(sample_pairs=10**6)
+    assert abs(est_full - exact) < 1e-9 * max(abs(exact), 1.0)
+    assert err_full == 0.0
+    # a genuinely subsampled run needs several blocks: call wm_norm with
+    # an explicit small block (the ORDERED off-diagonal grid, 8*7 pairs)
+    log_v, derived = prop._log_coefficients_and_derived()
+    est, err = wm_norm(prop.params, prop._bc, prop.state, derived, log_v,
+                       block=64, sample_pairs=20, key=3)
+    assert err > 0.0
+    assert abs(est - exact) < 5.0 * err, (est, exact, err)

