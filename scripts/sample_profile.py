@@ -46,29 +46,44 @@ def main():
     from semiclassical_tpu.propagation import hk as hkmod
     from semiclassical_tpu.propagation.state import TrajState
 
+    import gc
+
     out = {"bench": "sample_profile", "ntraj": args.ntraj,
            "method": args.method}
 
-    # one full warm setup to get params + compile everything once
+    # one full setup at the target shape: cold then warm wall, then FREE
+    # it — a persistent 1M state plus the stage temporaries OOMs the chip
     t0 = time.time()
     prop, pot = _as60_setup(ntraj=args.ntraj, dtype=jnp.float32,
                             traj_dtype="comp32")
     out["full_cold_s"] = round(time.time() - t0, 3)
-
-    # second full pass = the warm sample phase the bench pays
+    del prop
+    gc.collect()
     t0 = time.time()
-    prop2, _ = _as60_setup(ntraj=args.ntraj, dtype=jnp.float32,
-                           traj_dtype="comp32")
+    prop, _ = _as60_setup(ntraj=args.ntraj, dtype=jnp.float32,
+                          traj_dtype="comp32")
     out["full_warm_s"] = round(time.time() - t0, 3)
+    del prop
+    gc.collect()
 
-    sampling = prop.sampling
+    # small setup: only the (tiny) parameter packs are kept
+    small, _ = _as60_setup(ntraj=1024, dtype=jnp.float32,
+                           traj_dtype="comp32")
+    sampling, params = small.sampling, small.params
+    del small
+    gc.collect()
     key = jax.random.key(0)
 
     def fence(x):
-        np.asarray(jax.tree_util.tree_leaves(x)[0][:1])
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        if getattr(leaf, "ndim", 0) > 0:
+            np.asarray(leaf[:1])     # device fetch = timing fence
+        # host floats (sampling_statistics) are already synced
 
     def timed(name, fn):
         r = fn(); fence(r)              # warm/compile
+        del r
+        gc.collect()
         t0 = time.time()
         r = fn(); fence(r)
         out[name + "_s"] = round(time.time() - t0, 3)
@@ -81,9 +96,11 @@ def main():
     timed("sampling_statistics",
           lambda: smod.sampling_statistics(sampling, qi, pi))
 
-    timed("batch_constants",
-          lambda: hkmod.hk_batch_constants(prop.params, qi, pi, prob,
-                                           potential=pot))
+    bc = timed("batch_constants",
+               lambda: hkmod.hk_batch_constants(params, qi, pi, prob,
+                                                potential=pot))
+    del bc
+    gc.collect()
 
     timed("state_init",
           lambda: TrajState.initial(qi, pi, dtype=None,

@@ -1220,6 +1220,59 @@ _hk_scan_micro_jit = jax.jit(_hk_scan_micro,
 
 
 # ---------------------------------------------------------------------------
+# fused initial-conditions program
+# ---------------------------------------------------------------------------
+
+# batch-constant builders by tag: the fused program takes the TAG as its
+# static argument, not the function — a function-valued static lands its
+# repr (with a memory address) in the persistent-compile-cache key, so
+# the expensive fused program would recompile in every fresh process.
+# wm.py registers its builder on import.
+_BC_BUILDERS = {"hk": hk_batch_constants}
+
+
+def _ic_draw(sampling, key, ntraj, method):
+    from semiclassical_tpu.sampling import sample_initial_conditions
+    return sample_initial_conditions(sampling, key, ntraj, method=method)
+
+
+def _ic_state(qi, pi, traj_dtype, mono_dtype, diag_monodromy, compensated):
+    return TrajState.initial(
+        qi, pi, dtype=traj_dtype, mono_dtype=mono_dtype,
+        diag_monodromy=diag_monodromy, compensated=compensated)
+
+
+def _ic_constants(bc_tag, sampling, params, potential, qi, pi, prob):
+    from semiclassical_tpu.sampling import _sampling_stats_core
+    bc = _BC_BUILDERS[bc_tag](params, qi, pi, prob, potential=potential)
+    # the moment diagnostic runs on the leading <= 65536 trajectories: its
+    # readout saturates there (the comparison floor is sqrt(2/n)) while
+    # the full-ensemble (n, 2d) f64 concat/center buffers are a large
+    # peak-memory term at 1M trajectories
+    n_stat = min(qi.shape[0], 65536)
+    mean_dev, cov_dev = _sampling_stats_core(sampling, qi[:n_stat],
+                                             pi[:n_stat])
+    return bc, jnp.stack([mean_dev, cov_dev])
+
+
+# Three jitted programs replace the ~30-execution eager setup that was the
+# bench's entire 4.5 s "sample" phase at 1M trajectories (each eager op
+# pays the axon tunnel's ~45 ms dispatch + a cold executable load while
+# the device work totals <1 s — scripts/sample_profile.py). Three rather
+# than one: a single fused program at 1M x 60 keeps the (n, 2 rank) f64
+# draw/transform intermediates alive alongside the state and the
+# batch-constant outputs and EXCEEDS the 16G HBM; the splits free each
+# stage's temporaries at the program boundaries (peak <= ~3.5 GB per
+# program at 1M x 60). The batch-constant builder is selected by a string
+# TAG (a function-valued static would put its repr — a memory address —
+# into the persistent-compile-cache key and force a fresh ~5 min remote
+# compile in every process).
+_ic_draw_jit = jax.jit(_ic_draw, static_argnums=(2, 3))
+_ic_state_jit = jax.jit(_ic_state, static_argnums=(2, 3, 4, 5))
+_ic_constants_jit = jax.jit(_ic_constants, static_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # stateful wrapper (reference-shaped API)
 # ---------------------------------------------------------------------------
 
@@ -1521,44 +1574,74 @@ class HermanKlukPropagator:
             self.params = replicate(self.params, mesh)
 
         self.sampling_method = sampling_method
-        qi, pi, prob = sample_initial_conditions(sampling, key, ntraj,
-                                                 method=sampling_method)
-        if mesh is not None:
-            from semiclassical_tpu.parallel import shard_ensemble
-            qi, pi, prob = shard_ensemble((qi, pi, prob), mesh)
         logger.info("== Initial Conditions ==")
         logger.info(f"number of dimensions   :  {self.params.dim}")
         logger.info(f"zero dimensions        :  "
                     f"{self.params.dim - self.params.rank}")
         logger.info(f"number of trajectories :  {ntraj}")
-        from semiclassical_tpu.sampling import log_sampling_statistics
-        log_sampling_statistics(sampling, qi, pi)
 
-        self.ntraj = ntraj
         # Separable potential (diagonal Hessians at every geometry) =>
         # the monodromy stays exactly diagonal from the identity initial
         # condition — store only the (n, d) diagonals (see TrajState).
+        # Detected abstractly: the Hessian CONTAINER type is trace-level
+        # information, no device work.
         diag_mono = False
         if potential is not None:
             from semiclassical_tpu.potentials.base import DiagHessian
-            _, _, hess0 = potential.local_expansion(qi[:1])
-            diag_mono = isinstance(hess0, DiagHessian)
-        self.state = TrajState.initial(
-            qi, pi,
-            dtype=None if self.compensated else self.traj_dtype,
-            mono_dtype=self.dtype, diag_monodromy=diag_mono,
-            compensated=self.compensated)
-        # batch constants are one-time: build them from the full-precision
-        # samples (identical to state.q/p except in comp32, where the state
-        # carries them as f32 + residual)
-        self._bc = self._make_batch_constants(
-            (qi if self.compensated else self.state.q),
-            (pi if self.compensated else self.state.p),
-            prob, potential)
+            hess_t = jax.eval_shape(
+                lambda q: potential.local_expansion(q)[2],
+                jax.ShapeDtypeStruct((1, self.params.dim), jnp.float64))
+            diag_mono = isinstance(hess_t, DiagHessian)
+
+        self.ntraj = ntraj
+        if mesh is None and sampling_method in ("pseudo", "antithetic"):
+            # THREE fused programs for the whole setup (see _ic_draw /
+            # _ic_state / _ic_constants) — sobol generates its points
+            # host-side and keeps the eager path, as does the sharded
+            # multi-chip setup
+            qi, pi, prob = _ic_draw_jit(sampling, key, ntraj,
+                                        sampling_method)
+            self.state = _ic_state_jit(
+                qi, pi, None if self.compensated else self.traj_dtype,
+                self.dtype, diag_mono, self.compensated)
+            self._bc, stats = _ic_constants_jit(
+                type(self)._bc_tag, sampling, self.params, potential,
+                qi, pi, prob)
+            del qi, pi, prob
+            both = np.asarray(stats)
+            logger.info(f"max |<z> - z0| / sigma           :  "
+                        f"{float(both[0]):.6f}")
+            logger.info(f"max |cov(z) - analytic| / sigma2 :  "
+                        f"{float(both[1]):.6f}")
+        else:
+            qi, pi, prob = sample_initial_conditions(
+                sampling, key, ntraj, method=sampling_method)
+            if mesh is not None:
+                from semiclassical_tpu.parallel import shard_ensemble
+                qi, pi, prob = shard_ensemble((qi, pi, prob), mesh)
+            from semiclassical_tpu.sampling import log_sampling_statistics
+            log_sampling_statistics(sampling, qi, pi)
+            self.state = TrajState.initial(
+                qi, pi,
+                dtype=None if self.compensated else self.traj_dtype,
+                mono_dtype=self.dtype, diag_monodromy=diag_mono,
+                compensated=self.compensated)
+            # batch constants are one-time: build them from the
+            # full-precision samples (identical to state.q/p except in
+            # comp32, where the state carries them as f32 + residual)
+            self._bc = self._make_batch_constants(
+                (qi if self.compensated else self.state.q),
+                (pi if self.compensated else self.state.p),
+                prob, potential)
         self._bc_has_nacq = potential is not None
         self.trackers = self._make_trackers(self.state)
         self.t = 0.0
         self._integ_invalidate()
+
+    # registry tag of the module-level batch-constant builder consumed by
+    # the fused initial-conditions program (_BC_BUILDERS / _ic_setup);
+    # subclasses override both
+    _bc_tag = "hk"
 
     def _make_batch_constants(self, qi, pi, prob, potential):
         return hk_batch_constants(self.params, qi, pi, prob,

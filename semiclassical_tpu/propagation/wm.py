@@ -858,6 +858,14 @@ def wm_batch_constants(params: WMParams, qi, pi, log_prob,
                             z0=z0)
 
 
+# register with the fused initial-conditions program (hk._ic_setup); the
+# registry avoids a function-valued static jit arg, whose repr (memory
+# address) would poison the persistent-compile-cache key
+from semiclassical_tpu.propagation import hk as _hk_mod  # noqa: E402
+
+_hk_mod._BC_BUILDERS["wm"] = wm_batch_constants
+
+
 def _center_minus_initial(x0, x0c, xi):
     """x0 - xi at the sampling precision. `xi` is the f64 sampler output in
     every mode (comp32 included); the comp32 center is stored split as
@@ -1320,6 +1328,8 @@ class WaltonManolopoulosPropagator(HermanKlukPropagator):
                               traj_dtype=self.traj_dtype)
         return _build_wm_params(hk, self.Gamma_i, self.Gamma_t, Gamma_0,
                                 self.alpha, self.beta, self.dtype)
+
+    _bc_tag = "wm"
 
     def _make_batch_constants(self, qi, pi, prob, potential):
         return wm_batch_constants(self.params, qi, pi, prob,

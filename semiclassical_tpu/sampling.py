@@ -191,22 +191,10 @@ def sample_initial_conditions(params: SamplingParams, key, ntraj: int,
     return q, p, log_prob
 
 
-def sampling_statistics(params: SamplingParams, q, p):
-    """Deviation of the sample moments from the analytic distribution.
-
-    The sampled phase-space points are z = z0 + x iLz with x ~ N(0, 1), so
-    the exact moments are E[z] = z0 and cov(z) = iLz^T iLz (singular on the
-    zero modes, which are never sampled). Returns the maximum deviations in
-    *standard-deviation units* — mean deviation over sigma_i, covariance
-    deviation over sigma_i sigma_j, skipping zero modes — as floats, one
-    device fetch. In these units a healthy sampler sits at ~sqrt(2/ntraj)
-    regardless of how wildly the mode widths differ.
-
-    This is the live Monte-Carlo sanity check the reference prints at every
-    `initial_conditions` (reference propagators.py:570-578); a blown-up
-    deviation at large ntraj flags a broken sampler or RNG stream long
-    before the correlation functions look wrong.
-    """
+def _sampling_stats_core(params: SamplingParams, q, p):
+    """Device part of sampling_statistics: (mean_dev, cov_dev) as jnp
+    scalars — traceable, so the fused initial-conditions program
+    (hk._ic_setup) can fold the diagnostic into its single dispatch."""
     z = jnp.concatenate([jnp.asarray(q, dtype=jnp.float64),
                          jnp.asarray(p, dtype=jnp.float64)], axis=1)
     n = z.shape[0]
@@ -229,6 +217,26 @@ def sampling_statistics(params: SamplingParams, q, p):
     cov_dev = jnp.max(
         jnp.where(pair_live, jnp.abs(cov - ana_cov), 0.0)
         / (scale[:, None] * scale[None, :]))
+    return mean_dev, cov_dev
+
+
+def sampling_statistics(params: SamplingParams, q, p):
+    """Deviation of the sample moments from the analytic distribution.
+
+    The sampled phase-space points are z = z0 + x iLz with x ~ N(0, 1), so
+    the exact moments are E[z] = z0 and cov(z) = iLz^T iLz (singular on the
+    zero modes, which are never sampled). Returns the maximum deviations in
+    *standard-deviation units* — mean deviation over sigma_i, covariance
+    deviation over sigma_i sigma_j, skipping zero modes — as floats, one
+    device fetch. In these units a healthy sampler sits at ~sqrt(2/ntraj)
+    regardless of how wildly the mode widths differ.
+
+    This is the live Monte-Carlo sanity check the reference prints at every
+    `initial_conditions` (reference propagators.py:570-578); a blown-up
+    deviation at large ntraj flags a broken sampler or RNG stream long
+    before the correlation functions look wrong.
+    """
+    mean_dev, cov_dev = _sampling_stats_core(params, q, p)
     # one host fetch for both scalars (each float() is a separate blocking
     # round-trip on tunneled backends)
     both = np.asarray(jnp.stack([mean_dev, cov_dev]))

@@ -67,6 +67,23 @@ REF_DATA = pathlib.Path(
 VENDORED_DATA = pathlib.Path(__file__).parent / "data" / "refdata"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled programs between test modules on the CPU tier.
+
+    The full suite accumulates thousands of distinct XLA CPU executables
+    in one process; past a threshold the NEXT compilation segfaults
+    inside XLA (observed deterministically at ~96% of the r5 suite in
+    test_sharding's WM scan, while any subset of the suite passes — the
+    same class of in-process compiler-state fragility as the r4
+    persistent-cache crashes, hostcache.py). Recompiles within a module
+    are cheap on CPU; between-module clearing keeps the live-executable
+    count bounded."""
+    yield
+    if not TPU_TIER:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ref_data():
     if REF_DATA.is_dir():
