@@ -73,24 +73,61 @@ def _result(metric, value, unit, baseline, config, timer):
     }
 
 
+def wait_for_hbm(jax, gb=12, tries=8, wait_s=150):
+    """Block until ~gb GB of device memory is allocatable (or give up).
+
+    The remote device releases a finished process's allocations LAZILY
+    (minutes) and holds leaked memory from crashed processes for longer
+    (observed: ~1-2 h after repeated OOMs) — and every further OOM digs
+    the hole deeper, so the worst possible strategy is to hammer it with
+    retries. This gate costs one small program per probe and waits
+    between probes; heavy benches only start once the device is healthy.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    for i in range(tries):
+        try:
+            a = jnp.zeros((gb * (1 << 28),), jnp.float32) + 1.0
+            np.asarray(a[:1])
+            del a
+            gc.collect()
+            return True
+        except Exception:
+            gc.collect()
+            if i + 1 < tries:
+                time.sleep(wait_s)
+    return False
+
+
+def _retry_hbm(jax, requested, floor, fn):
+    """Run `fn(ntraj)` with at most ONE half-size fallback (see
+    wait_for_hbm: repeated OOM retries make the device sicker, so the
+    resilience lives in the pre-flight gate, not in hammering)."""
+    import time
+
+    try:
+        return fn(requested)
+    except Exception as exc:
+        if "RESOURCE_EXHAUSTED" not in repr(exc) or requested // 2 < floor:
+            raise
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+        time.sleep(150)
+        out = fn(requested // 2)
+        out["config"]["requested_ntraj"] = requested
+        out["config"]["note"] = ("batch halved: device HBM constrained "
+                                 "(lazy release / leaked allocations)")
+        return out
+
+
 def bench_wm(jax, jnp, on_tpu):
     requested = int(os.environ.get("BENCH_WM_NTRAJ",
                                    "524288" if on_tpu else "2048"))
-    ntraj = requested
-    while True:
-        try:
-            out = _bench_wm_at(jax, jnp, on_tpu, ntraj)
-            if ntraj != requested:
-                out["config"]["requested_ntraj"] = requested
-                out["config"]["note"] = "batch halved: device HBM constrained"
-            return out
-        except Exception as exc:   # see bench_hk: leaked-HBM resilience
-            if "RESOURCE_EXHAUSTED" not in repr(exc) or ntraj <= 65536:
-                raise
-            ntraj //= 2
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+    return _retry_hbm(jax, requested, 65536,
+                      lambda n: _bench_wm_at(jax, jnp, on_tpu, n))
 
 
 def _bench_wm_at(jax, jnp, on_tpu, ntraj):
@@ -221,30 +258,13 @@ def bench_gdml(jax, jnp, on_tpu):
 
 def bench_hk(jax, jnp, on_tpu):
     # 1,048,576 trajectories is the measured single-chip throughput
-    # optimum (2M exceeds the 16G HBM) — but a remote device can be left
-    # with leaked HBM by earlier crashed processes (observed: ~11 GB gone
-    # until the tunnel server recycles), so fall back through halved
-    # batches rather than dying: the 524k/262k rates are within ~10-20%
-    # of the optimum and the config records the actual shape.
+    # optimum (2M exceeds the 16G HBM); see _retry_hbm for why failures
+    # wait-and-retry before halving — the 524k/262k fallback rates are
+    # within ~10-20% of the optimum and the config records the shape.
     requested = int(os.environ.get("BENCH_NTRAJ",
                                    "1048576" if on_tpu else "2048"))
-    ntraj = requested
-    while True:
-        try:
-            out = _bench_hk_at(jax, jnp, on_tpu, ntraj)
-            if ntraj != requested:
-                out["config"]["requested_ntraj"] = requested
-                out["config"]["note"] = ("batch halved: device HBM "
-                                         "constrained (leaked allocations "
-                                         "from earlier crashed processes)")
-            return out
-        except Exception as exc:
-            if "RESOURCE_EXHAUSTED" not in repr(exc) or ntraj <= 131072:
-                raise
-            ntraj //= 2
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+    return _retry_hbm(jax, requested, 131072,
+                      lambda n: _bench_hk_at(jax, jnp, on_tpu, n))
 
 
 def _bench_hk_at(jax, jnp, on_tpu, ntraj):
@@ -311,6 +331,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and not wait_for_hbm(jax):
+        print(json.dumps({"metric": "device_hbm_gate",
+                          "warning": "device HBM still constrained after "
+                                     "the pre-flight wait; benches may "
+                                     "fall back to smaller batches"}),
+              flush=True)
 
     only = os.environ.get("BENCH_ONLY", "")
     benches = {"wm": bench_wm, "gdml": bench_gdml, "hk": bench_hk}
